@@ -1,0 +1,385 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native re-architecture of the reference's recursive per-pixel loop
+(GetRadiance, /root/reference/src/render.cc:24-90, CyclesPrincipledShader
+/root/reference/src/shader/cycles-principled-shader.cc:414-484, and the SSS
+walk /root/reference/src/shader/random-walk-sss.h:227-405):
+
+* one SoA `PathState` for N = W*H lanes; every `lax.scan` step advances each
+  lane by exactly one trace — either a surface bounce or one volume step of
+  the random-walk SSS ("volume mode"), so the hot loop is a fixed pipeline
+  of masked vectorized stages with ONE closest-hit and ONE any-hit trace per
+  step;
+* the SSS branch of the reference (a nested loop of up to 8192 traces inside
+  one surface bounce) becomes a per-lane mode flag: lanes that pick the
+  subsurface closure switch to volume mode and walk one step per wavefront
+  iteration; on a valid exit (same instance, back face —
+  random-walk-sss.h:371-384) they re-shade with a diffuse closure weighted
+  by the walk throughput (cycles-principled-shader.cc:197-215) and return to
+  surface mode;
+* per-lane deterministic PCG streams: every step consumes a fixed number of
+  draws for all lanes (masked use), so images are bit-reproducible across
+  sharding layouts;
+* geometry lookups are wrapped in stop_gradient; radiance stays
+  differentiable w.r.t. material/light/texture leaves of the scene pytree.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import rng as prng
+from ..core.math import EPS, INF, saturate, spectrum_norm, vdot, vnormalize
+from ..core.onb import branchless_onb, to_global, to_local
+from ..core.sampling import power_heuristic_weight, uniform_sample_sphere
+from ..ops.intersect import intersect_bvh, occluded_bvh
+from ..scene.lights import implicit_area_light, sample_all_light
+from ..scene.materials import KIND_PRINCIPLED
+from ..scene.textures import fetch_float3
+from ..shading import principled
+from ..shading.principled import PrincipledBsdf
+from ..shading.sss import sample_scatter_distance, scattering_coefficients
+from .camera import generate_rays
+
+MODE_SURFACE = 0
+MODE_VOLUME = 1
+
+FRONT = 0
+BACK = 1
+AMBIGUOUS = 2
+
+
+class PathState(NamedTuple):
+    org: jnp.ndarray  # [N,3]
+    direction: jnp.ndarray  # [N,3]
+    min_t: jnp.ndarray  # [N]
+    throughput: jnp.ndarray  # [N,3]
+    contribution: jnp.ndarray  # [N,3]
+    bsdf_pdf: jnp.ndarray  # [N] previous bounce bsdf pdf (MIS)
+    rng: jnp.ndarray  # [N] uint32
+    alive: jnp.ndarray  # [N] bool
+    first: jnp.ndarray  # [N] bool: no surface shade done yet
+    mode: jnp.ndarray  # [N] int32
+    vol_first: jnp.ndarray  # [N] bool: next volume step keeps entry dir
+    sss_sigma_t: jnp.ndarray  # [N,3]
+    sss_sigma_s: jnp.ndarray  # [N,3]
+    sss_tp: jnp.ndarray  # [N,3] walk throughput
+    sss_instance: jnp.ndarray  # [N] entry instance id
+
+
+def _classify(direction, ng, ns):
+    """Front/back/ambiguous (shader-utils.h:151-159)."""
+    dg = vdot(direction, ng)
+    ds = vdot(direction, ns)
+    return jnp.where((dg < 0.0) & (ds < 0.0), FRONT,
+                     jnp.where((dg > 0.0) & (ds > 0.0), BACK, AMBIGUOUS))
+
+
+def _surface_attribs(scene, prim, u, v):
+    """Gather shading attributes for hit faces (scene.cc:210-249)."""
+    p = jnp.maximum(prim, 0)
+    ng = scene["face_ng"][p]
+    corner_ns = scene["face_ns"][p]  # [N,3,3]
+    w0 = (1.0 - u - v)[..., None]
+    ns_lerp = vnormalize(corner_ns[:, 0] * w0 + corner_ns[:, 1] * u[..., None]
+                         + corner_ns[:, 2] * v[..., None])
+    ns = jnp.where(scene["face_has_ns"][p][..., None], ns_lerp, ng)
+    corner_uv = scene["face_uv"][p]
+    uv_lerp = (corner_uv[:, 0] * w0 + corner_uv[:, 1] * u[..., None]
+               + corner_uv[:, 2] * v[..., None])
+    uv = jnp.where(scene["face_has_uv"][p][..., None],
+                   uv_lerp, jnp.stack([u, v], axis=-1))
+    return ng, ns, uv
+
+
+def _gather_material(scene, mat_id):
+    m = scene["materials"]
+    idx = jnp.maximum(mat_id, 0)
+    return {k: v[idx] for k, v in m.items()}
+
+
+def _fetch_colors(scene, mat, uv):
+    """base_color / subsurface_color with optional texture fetch
+    (cycles-principled-shader.cc:281-301)."""
+    atlas = scene["texture_atlas"]
+    sizes = scene["texture_sizes"]
+    bid = mat["base_color_tex_id"]
+    base = jnp.where(
+        (bid >= 0)[..., None],
+        fetch_float3(atlas, sizes, bid, uv[..., 0], uv[..., 1]),
+        mat["base_color"])
+    sid = mat["subsurface_color_tex_id"]
+    sub = jnp.where(
+        (sid >= 0)[..., None],
+        fetch_float3(atlas, sizes, sid, uv[..., 0], uv[..., 1]),
+        mat["subsurface_color"])
+    return base, sub
+
+
+def _nee(scene, pos, ez, omega_out_local, ex, ey, bsdf: PrincipledBsdf,
+         u0, u1, u2, shade_mask):
+    """Next-event estimation (DirectIllumination, shader-utils.h:166-212)."""
+    light = sample_all_light(scene, u0, u1, u2)
+    to_light = light.position - pos
+    dist = jnp.sqrt(jnp.maximum(vdot(to_light, to_light), 1e-30))
+    wl = to_light / dist[..., None]
+    wl_dot_nl = -vdot(wl, light.normal)
+    wl_dot_np = vdot(wl, ez)
+    denom = wl_dot_nl * wl_dot_np
+    pdf_sigma = jnp.abs(light.pdf * dist * dist
+                        / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20))
+    hemisphere_ok = (wl_dot_nl > 0.0) & (wl_dot_np > 0.0)
+    candidate = shade_mask & light.valid & hemisphere_ok & (pdf_sigma > 0.0)
+    shadow_max = jnp.maximum(EPS, dist - EPS)
+    occluded = occluded_bvh(
+        scene, pos, wl, jnp.full_like(dist, EPS),
+        jnp.where(candidate, shadow_max, -1.0))
+    omega_l = to_local(wl, ex, ey, ez)
+    f, pdf_b = principled.eval_bsdf(omega_l, omega_out_local, bsdf)
+    w = power_heuristic_weight(pdf_sigma, pdf_b)
+    contrib = f * light.emission * (w / jnp.maximum(pdf_sigma, 1e-30))[..., None]
+    ok = candidate & ~occluded
+    contrib = jnp.where(ok[..., None] & jnp.isfinite(contrib).all(-1,
+                                                                  keepdims=True),
+                        contrib, 0.0)
+    return contrib
+
+
+def wavefront_step(scene, state: PathState, depth: int) -> PathState:
+    """Advance every lane by one trace. See module docstring."""
+    n = state.org.shape[0]
+    surface_mode = state.mode == MODE_SURFACE
+    volume_mode = state.mode == MODE_VOLUME
+
+    # ---- pre-trace: volume direction + distance draws (fixed budget) ----
+    rng_state, us = prng.draw_n(state.rng, 4)
+    ud1, ud2, uc, ut = us
+    wi_sphere = uniform_sample_sphere(ud1, ud2)
+    need_new_dir = volume_mode & ~state.vol_first
+    direction = jnp.where(need_new_dir[..., None], wi_sphere, state.direction)
+    min_t = jnp.where(need_new_dir, 0.0, state.min_t)
+    t_scatter, channel_pdf = sample_scatter_distance(
+        state.sss_tp, state.sss_sigma_s, state.sss_sigma_t, uc, ut)
+    max_t = jnp.where(volume_mode, t_scatter, INF)
+    max_t = jnp.where(state.alive, max_t, -1.0)  # dead lanes: no traversal
+
+    # ---- one closest-hit trace for all lanes ----
+    hit = jax.tree_util.tree_map(
+        lax.stop_gradient,
+        intersect_bvh(scene, state.org, direction, min_t, max_t))
+    prim = hit["prim"]
+    hit_ok = prim >= 0
+    safe_prim = jnp.maximum(prim, 0)
+    t_eff = jnp.where(volume_mode & ~hit_ok, t_scatter, hit["t"])
+    pos = state.org + t_eff[..., None] * direction
+    ng, ns, uv = _surface_attribs(scene, prim, hit["u"], hit["v"])
+    ng, ns, uv, pos = map(lax.stop_gradient, (ng, ns, uv, pos))
+    face_dir = _classify(direction, ng, ns)
+
+    alive = state.alive
+    contribution = state.contribution
+    throughput = state.throughput
+
+    # =========== SURFACE lanes: emission MIS + russian roulette ==========
+    s_alive = alive & surface_mode
+    # miss -> dead (no environment light; reference render.cc:34-37)
+    has_em, emission, pdf_area = implicit_area_light(scene, safe_prim)
+    a2sa = jnp.abs(t_eff * t_eff
+                   / jnp.where(jnp.abs(vdot(ns, direction)) > 1e-20,
+                               vdot(ns, direction), 1e-20))
+    mis_w = jnp.where(state.first, 1.0,
+                      power_heuristic_weight(state.bsdf_pdf, pdf_area * a2sa))
+    add_em = s_alive & hit_ok & (face_dir == FRONT) & has_em
+    contribution = contribution + jnp.where(
+        add_em[..., None], mis_w[..., None] * emission * throughput, 0.0)
+
+    rng_state, urr = prng.draw(rng_state)
+    rr_p = spectrum_norm(throughput)
+    rr_die = rr_p < urr
+    throughput = jnp.where(
+        (s_alive & ~rr_die)[..., None],
+        throughput / jnp.maximum(rr_p, 1e-30)[..., None], throughput)
+    s_alive = s_alive & hit_ok & ~rr_die
+
+    # ================== VOLUME lanes: one walk step ======================
+    v_alive = alive & volume_mode
+    trans = jnp.exp(-state.sss_sigma_t * t_eff[..., None])
+    pdf_hit = vdot(channel_pdf, trans)
+    pdf_scatter = vdot(channel_pdf, state.sss_sigma_t * trans)
+    sss_tp_hit = state.sss_tp * trans / jnp.maximum(pdf_hit, 1e-30)[..., None]
+    sss_tp_scat = (state.sss_tp * (state.sss_sigma_s * trans)
+                   / jnp.maximum(pdf_scatter, 1e-30)[..., None])
+    sss_tp = jnp.where(hit_ok[..., None], sss_tp_hit, sss_tp_scat)
+
+    exit_ok = (v_alive & hit_ok
+               & (scene["face_instance"][safe_prim] == state.sss_instance)
+               & (face_dir == BACK))
+    # invalid exit (other instance / not backface) kills the path
+    # (random-walk-sss.h:371-384 -> pdf 0 -> black)
+    v_dead_exit = v_alive & hit_ok & ~exit_ok
+
+    # scatter lanes: volume russian roulette (random-walk-sss.h:349-358)
+    rng_state, uvrr = prng.draw(rng_state)
+    v_scatter = v_alive & ~hit_ok
+    pv = saturate(spectrum_norm(sss_tp))
+    v_rr_die = v_scatter & (uvrr >= pv)
+    sss_tp = jnp.where(v_scatter[..., None],
+                       sss_tp / jnp.maximum(pv, 1e-30)[..., None], sss_tp)
+
+    # ===================== SHADE (surface hit or SSS exit) ===============
+    is_exit = exit_ok
+    s_shade = s_alive & (face_dir != AMBIGUOUS)
+    s_dead_amb = s_alive & (face_dir == AMBIGUOUS)
+    shade_mask = s_shade | is_exit
+
+    mat_id = scene["face_material"][safe_prim]
+    mat = _gather_material(scene, mat_id)
+    is_principled = mat["kind"] == KIND_PRINCIPLED
+    # non-principled (hair) on the surface path: handled by hair shader once
+    # curves are intersectable; triangle faces are always principled here.
+
+    ez = jnp.where(is_exit[..., None], ns,
+                   jnp.where((face_dir == FRONT)[..., None], ns, -ns))
+    ex, ey = branchless_onb(ez)
+    omega_out_g = jnp.where(is_exit[..., None], direction, -direction)
+    omega_out = to_local(omega_out_g, ex, ey, ez)
+
+    base_color, sub_color = _fetch_colors(scene, mat, uv)
+    bsdf = principled.param_to_bsdf(mat, base_color, sub_color)
+    exit_bsdf = principled.diffuse_only_bsdf(sss_tp)
+    bsdf = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            is_exit.reshape(is_exit.shape + (1,) * (a.ndim - 1)), b, a),
+        bsdf, exit_bsdf)
+
+    # --- NEE ---
+    rng_state, un = prng.draw_n(rng_state, 3)
+    nee = _nee(scene, pos, ez, omega_out, ex, ey, bsdf, un[0], un[1], un[2],
+               shade_mask & is_principled)
+    contribution = contribution + jnp.where(shade_mask[..., None],
+                                            throughput * nee, 0.0)
+
+    # --- closure sampling ---
+    rng_state, ub = prng.draw_n(rng_state, 3)
+    omega_in, f, pdf_b, pick_sss_raw = principled.sample_surface(
+        omega_out, bsdf, ub[0], ub[1], ub[2])
+    # SSS entry is only valid from front faces (random-walk-sss.h:236-239);
+    # back-face SSS picks terminate the path.
+    pick_sss = pick_sss_raw & s_shade & (face_dir == FRONT)
+    sss_die = pick_sss_raw & s_shade & (face_dir != FRONT)
+
+    # surface continuation (non-SSS): throughput *= f cos / pdf
+    cos_i = jnp.abs(omega_in[..., 2])
+    factor = f * (cos_i / jnp.maximum(pdf_b, 1e-30))[..., None]
+    bad = (pdf_b <= 0.0) | ~jnp.isfinite(factor).all(-1) | ~jnp.isfinite(pdf_b)
+    cont_surface = shade_mask & ~pick_sss & ~bad
+    new_dir_g = to_global(omega_in, ex, ey, ez)
+
+    # SSS entry: reuse the closure-sample draws for the entry cosine sample
+    # (the SSS branch consumes its own two draws in the reference,
+    # random-walk-sss.h:250-263).
+    from ..core.sampling import cosine_sample_hemisphere
+    entry_local = -cosine_sample_hemisphere(ub[1], ub[2])
+    entry_g = to_global(entry_local, ex, ey, ez)
+    entry_ok = pick_sss & (vdot(-ng, entry_g) > 0.0)
+    sigma_t, sigma_s, sss_tp0 = scattering_coefficients(
+        bsdf.subsurface_weight, bsdf.subsurface_albedo, bsdf.subsurface_radius)
+
+    # ======================= state merge ================================
+    new_alive = jnp.where(surface_mode, cont_surface | entry_ok,
+                          jnp.where(v_scatter, v_alive & ~v_rr_die,
+                                    cont_surface))
+    new_alive = new_alive & alive & ~s_dead_amb & ~v_dead_exit & ~sss_die
+
+    new_mode = jnp.where(entry_ok, MODE_VOLUME,
+                         jnp.where(v_scatter & ~v_rr_die, MODE_VOLUME,
+                                   MODE_SURFACE))
+    new_throughput = jnp.where(cont_surface[..., None],
+                               throughput * factor, throughput)
+    new_bsdf_pdf = jnp.where(cont_surface, pdf_b, state.bsdf_pdf)
+    new_first = state.first & ~shade_mask
+
+    new_org = jnp.where(shade_mask[..., None] | entry_ok[..., None], pos,
+                        jnp.where(v_scatter[..., None],
+                                  state.org + t_eff[..., None] * direction,
+                                  state.org))
+    new_direction = jnp.where(cont_surface[..., None], new_dir_g,
+                              jnp.where(entry_ok[..., None], entry_g,
+                                        direction))
+    new_min_t = jnp.where(cont_surface | entry_ok, 1e-3,
+                          jnp.where(v_scatter, 0.0, min_t))
+
+    # throughput black -> dead (render.cc:31)
+    new_alive = new_alive & (jnp.sum(jnp.abs(new_throughput), axis=-1)
+                             > jnp.finfo(jnp.float32).eps)
+
+    return PathState(
+        org=new_org, direction=new_direction, min_t=new_min_t,
+        throughput=new_throughput, contribution=contribution,
+        bsdf_pdf=new_bsdf_pdf, rng=rng_state, alive=new_alive,
+        first=new_first, mode=new_mode,
+        vol_first=jnp.where(entry_ok, True, state.vol_first & ~volume_mode),
+        sss_sigma_t=jnp.where(entry_ok[..., None], sigma_t, state.sss_sigma_t),
+        sss_sigma_s=jnp.where(entry_ok[..., None], sigma_s, state.sss_sigma_s),
+        sss_tp=jnp.where(entry_ok[..., None], sss_tp0,
+                         jnp.where(volume_mode[..., None], sss_tp,
+                                   state.sss_tp)),
+        sss_instance=jnp.where(entry_ok,
+                               scene["face_instance"][safe_prim],
+                               state.sss_instance),
+    )
+
+
+def init_state(scene, width: int, height: int, sample_id, seed) -> PathState:
+    n = width * height
+    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    rng_state = prng.seed_state(pixel_ids, sample_id, seed)
+    rng_state, (u1, u2) = prng.draw_n(rng_state, 2)
+    org, direction = generate_rays(scene, width, height, u1, u2)
+    f3 = jnp.zeros((n, 3), jnp.float32)
+    return PathState(
+        org=org, direction=direction, min_t=jnp.zeros((n,), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32), contribution=f3,
+        bsdf_pdf=jnp.zeros((n,), jnp.float32), rng=rng_state,
+        alive=jnp.ones((n,), bool), first=jnp.ones((n,), bool),
+        mode=jnp.zeros((n,), jnp.int32), vol_first=jnp.zeros((n,), bool),
+        sss_sigma_t=jnp.ones((n, 3), jnp.float32),
+        sss_sigma_s=jnp.ones((n, 3), jnp.float32),
+        sss_tp=jnp.ones((n, 3), jnp.float32),
+        sss_instance=jnp.full((n,), -1, jnp.int32))
+
+
+def render_sample(scene, width: int, height: int, sample_id, seed=0,
+                  max_steps: int = 32):
+    """One sample per pixel -> radiance [H, W, 3] (linear)."""
+    state = init_state(scene, width, height, sample_id, seed)
+
+    def body(state, depth):
+        state = wavefront_step(scene, state, depth)
+        return state, None
+
+    state, _ = lax.scan(
+        jax.checkpoint(body), state, jnp.arange(max_steps), unroll=1)
+    img = state.contribution.reshape(height, width, 3)
+    return jnp.where(jnp.isfinite(img), img, 0.0)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_steps"))
+def render(scene, width: int, height: int, spp: int, seed=0,
+           max_steps: int = 32):
+    """Progressive accumulation of spp samples -> mean radiance [H, W, 3].
+
+    The reference accumulates rgba/count per pass (render-layer.h:11-26);
+    here each pass is an independent wavefront launch folded in a scan.
+    """
+    def body(acc, sample_id):
+        img = render_sample(scene, width, height, sample_id, seed, max_steps)
+        return acc + img, None
+
+    acc, _ = lax.scan(body, jnp.zeros((height, width, 3), jnp.float32),
+                      jnp.arange(spp, dtype=jnp.uint32))
+    return acc / spp

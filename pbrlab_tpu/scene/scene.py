@@ -1,0 +1,292 @@
+"""Scene assembly: host-side builder -> flat device-array scene.
+
+Reference layer L3 (/root/reference/src/scene.{h,cc}, light-manager.{h,cc},
+mesh-instance.h). The reference keeps pointer-rich structures (local scenes,
+instances, variants) and resolves attributes through id tables at hit time.
+The TPU-native layout flattens everything at commit:
+
+* every instanced triangle is baked to world space into global SoA arrays
+  (the reference only ever uses identity instance transforms —
+  pc/pc-common.cc:163-167 — so baking is behavior-preserving, but we apply
+  the 4x4 here so transforms work);
+* per-face columns carry material id, light pdf/emission, instance id — the
+  direct analogue of the reference's id tables (mesh-instance.h:23-36);
+* the two-level light CDF (light-manager.cc:29-77,79-184) is flattened into
+  a single CDF over emissive faces: p(face) = p(light) * p(prim | light)
+  chained draws ≡ one draw over the product distribution, and the per-face
+  area pdf column reproduces ImplicitAreaLight (light-manager.h:37-74).
+
+`DeviceScene` is a plain dict pytree of jnp arrays: jit-friendly, shardable,
+and the material/light/texture columns are differentiable leaves.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..geometry.mesh import CubicBezierCurveMesh, TriangleMesh
+from .materials import MaterialBuilder
+
+
+def _apply_transform(verts: np.ndarray, m: Optional[np.ndarray]) -> np.ndarray:
+    if m is None:
+        return verts
+    m = np.asarray(m, np.float32)
+    return verts @ m[:3, :3].T + m[:3, 3]
+
+
+def _apply_normal_transform(normals: np.ndarray, m: Optional[np.ndarray]):
+    if m is None:
+        return normals
+    m = np.asarray(m, np.float32)
+    nm = np.linalg.inv(m[:3, :3]).T
+    n = normals @ nm.T
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+
+
+@dataclasses.dataclass
+class _Instance:
+    meshes: List[TriangleMesh]
+    curves: List[CubicBezierCurveMesh]
+    light_ids: List[Optional[np.ndarray]]  # per mesh: per-face light param id or None
+    transform: Optional[np.ndarray]
+
+
+class SceneBuilder:
+    """Accumulates meshes/materials/lights, then `build()`s device arrays.
+
+    Mirrors the reference Scene API surface (scene.h:14-111): Add*/Create*/
+    Commit. Local scenes exist implicitly: `add_instance` takes a list of
+    meshes (the local scene) plus an optional transform.
+    """
+
+    def __init__(self):
+        self.materials = MaterialBuilder()
+        self._instances: List[_Instance] = []
+        self._light_params: List[np.ndarray] = []  # emission rgb per light param
+        self._textures: List[np.ndarray] = []
+        self._texture_names: List[str] = []
+
+    # -- light params (reference LightManager::AddLightParam) ------------
+    def add_area_light_param(self, emission) -> int:
+        self._light_params.append(np.asarray(emission, np.float32))
+        return len(self._light_params) - 1
+
+    def add_texture(self, image: np.ndarray, name: str = "") -> int:
+        """Register an RGB float texture [H, W, 3] (linear space)."""
+        img = np.ascontiguousarray(np.asarray(image, np.float32))
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        if img.shape[-1] == 4:
+            img = img[..., :3]
+        self._textures.append(img)
+        self._texture_names.append(name)
+        return len(self._textures) - 1
+
+    # -- geometry ---------------------------------------------------------
+    def add_instance(
+        self,
+        meshes: List[TriangleMesh],
+        curves: Optional[List[CubicBezierCurveMesh]] = None,
+        light_ids: Optional[List[Optional[np.ndarray]]] = None,
+        transform: Optional[np.ndarray] = None,
+    ) -> int:
+        curves = curves or []
+        if light_ids is None:
+            light_ids = [None] * len(meshes)
+        self._instances.append(_Instance(meshes, curves, light_ids, transform))
+        return len(self._instances) - 1
+
+    # -- commit -----------------------------------------------------------
+    def build(self) -> Dict[str, np.ndarray]:
+        tri_v = []  # [F,3,3] world-space corners
+        tri_ns = []  # [F,3,3] per-corner shading normals
+        tri_has_ns = []  # [F]
+        tri_uv = []  # [F,3,2]
+        tri_has_uv = []  # [F]
+        tri_mat = []
+        tri_light = []  # light param id or -1
+        tri_inst = []
+        tri_geom = []
+        tri_prim = []
+
+        for inst_id, inst in enumerate(self._instances):
+            for geom_id, mesh in enumerate(inst.meshes):
+                f = mesh.faces
+                nf = f.shape[0]
+                v = _apply_transform(mesh.vertices, inst.transform)[f]
+                tri_v.append(v)
+                if mesh.normals is not None and mesh.normal_idx is not None:
+                    ns = _apply_normal_transform(mesh.normals, inst.transform)
+                    corner_ns = ns[np.maximum(mesh.normal_idx, 0)]
+                    has = np.all(mesh.normal_idx >= 0, axis=-1)
+                else:
+                    corner_ns = np.zeros((nf, 3, 3), np.float32)
+                    has = np.zeros((nf,), bool)
+                tri_ns.append(corner_ns)
+                tri_has_ns.append(has)
+                if mesh.texcoords is not None and mesh.texcoord_idx is not None:
+                    corner_uv = mesh.texcoords[np.maximum(mesh.texcoord_idx, 0)]
+                    has_uv = np.all(mesh.texcoord_idx >= 0, axis=-1)
+                else:
+                    corner_uv = np.zeros((nf, 3, 2), np.float32)
+                    has_uv = np.zeros((nf,), bool)
+                tri_uv.append(corner_uv)
+                tri_has_uv.append(has_uv)
+                tri_mat.append(mesh.material_ids)
+                lids = inst.light_ids[geom_id]
+                if lids is None:
+                    tri_light.append(np.full((nf,), -1, np.int32))
+                else:
+                    tri_light.append(np.asarray(lids, np.int32))
+                tri_inst.append(np.full((nf,), inst_id, np.int32))
+                tri_geom.append(np.full((nf,), geom_id, np.int32))
+                tri_prim.append(np.arange(nf, dtype=np.int32))
+
+        if tri_v:
+            V = np.concatenate(tri_v).astype(np.float32)  # [F,3,3]
+        else:
+            V = np.zeros((0, 3, 3), np.float32)
+        scene: Dict[str, np.ndarray] = {}
+        scene["tri_v0"] = V[:, 0]
+        scene["tri_e1"] = V[:, 1] - V[:, 0]
+        scene["tri_e2"] = V[:, 2] - V[:, 0]
+        ng = np.cross(scene["tri_e1"], scene["tri_e2"])
+        area2 = np.linalg.norm(ng, axis=-1)
+        scene["face_ng"] = (
+            ng / np.maximum(area2, 1e-30)[:, None]).astype(np.float32)
+        scene["face_area"] = (0.5 * area2).astype(np.float32)
+        scene["face_ns"] = (
+            np.concatenate(tri_ns).astype(np.float32)
+            if tri_ns else np.zeros((0, 3, 3), np.float32))
+        scene["face_has_ns"] = (
+            np.concatenate(tri_has_ns) if tri_has_ns else np.zeros((0,), bool))
+        scene["face_uv"] = (
+            np.concatenate(tri_uv).astype(np.float32)
+            if tri_uv else np.zeros((0, 3, 2), np.float32))
+        scene["face_has_uv"] = (
+            np.concatenate(tri_has_uv) if tri_has_uv else np.zeros((0,), bool))
+        scene["face_material"] = (
+            np.concatenate(tri_mat).astype(np.int32)
+            if tri_mat else np.zeros((0,), np.int32))
+        face_light = (
+            np.concatenate(tri_light).astype(np.int32)
+            if tri_light else np.zeros((0,), np.int32))
+        scene["face_light"] = face_light
+        scene["face_instance"] = (
+            np.concatenate(tri_inst).astype(np.int32)
+            if tri_inst else np.zeros((0,), np.int32))
+        scene["face_geom"] = (
+            np.concatenate(tri_geom).astype(np.int32)
+            if tri_geom else np.zeros((0,), np.int32))
+
+        # ---- lights (flattened two-level CDF; see module docstring) ----
+        light_emission = (
+            np.stack(self._light_params)
+            if self._light_params else np.zeros((0, 3), np.float32))
+        is_light = face_light >= 0
+        emissive = np.nonzero(is_light)[0].astype(np.int32)
+        F = face_light.shape[0]
+        face_emission = np.zeros((F, 3), np.float32)
+        face_light_pdf = np.zeros((F,), np.float32)
+        if emissive.size:
+            em = light_emission[face_light[emissive]]
+            face_emission[emissive] = em
+            # power = SpectrumNorm(emission) * area (light-manager.cc:118-140)
+            power = em.max(axis=-1) * scene["face_area"][emissive]
+            total = power.sum()
+            p_choose = power / max(total, 1e-30)
+            # pdf(face, point) = p_choose * 1/area (area measure)
+            face_light_pdf[emissive] = p_choose / np.maximum(
+                scene["face_area"][emissive], 1e-30)
+            cdf = np.cumsum(p_choose).astype(np.float32)
+        else:
+            cdf = np.zeros((0,), np.float32)
+        scene["face_emission"] = face_emission
+        scene["face_light_pdf"] = face_light_pdf
+        scene["emissive_faces"] = emissive
+        scene["light_cdf"] = cdf
+        scene["light_emission"] = light_emission
+
+        # ---- materials --------------------------------------------------
+        scene["materials"] = self.materials.build()
+
+        # ---- textures: padded atlas stack [T, H, W, 3] ------------------
+        if self._textures:
+            hmax = max(t.shape[0] for t in self._textures)
+            wmax = max(t.shape[1] for t in self._textures)
+            atlas = np.zeros((len(self._textures), hmax, wmax, 3), np.float32)
+            sizes = np.zeros((len(self._textures), 2), np.int32)
+            for i, t in enumerate(self._textures):
+                atlas[i, : t.shape[0], : t.shape[1]] = t
+                sizes[i] = (t.shape[0], t.shape[1])
+            scene["texture_atlas"] = atlas
+            scene["texture_sizes"] = sizes
+        else:
+            scene["texture_atlas"] = np.zeros((1, 1, 1, 3), np.float32)
+            scene["texture_sizes"] = np.ones((1, 2), np.int32)
+
+        # ---- curves (hair) ---------------------------------------------
+        curve_pts = []
+        curve_mat = []
+        curve_inst = []
+        for inst_id, inst in enumerate(self._instances):
+            for cm in inst.curves:
+                curve_pts.append(cm.segment_points())
+                curve_mat.append(np.full((cm.num_segments,), cm.material_id,
+                                         np.int32))
+                curve_inst.append(np.full((cm.num_segments,), inst_id, np.int32))
+        scene["curve_pts"] = (
+            np.concatenate(curve_pts).astype(np.float32)
+            if curve_pts else np.zeros((0, 4, 4), np.float32))
+        scene["curve_material"] = (
+            np.concatenate(curve_mat) if curve_mat else np.zeros((0,), np.int32))
+        scene["curve_instance"] = (
+            np.concatenate(curve_inst) if curve_inst else np.zeros((0,), np.int32))
+
+        # ---- AABB (reference Scene::FetchSceneAABB semantics) ----------
+        pts = [V.reshape(-1, 3)] if V.size else []
+        if scene["curve_pts"].size:
+            cp = scene["curve_pts"].reshape(-1, 4)
+            pts.append(cp[:, :3] - cp[:, 3:4])
+            pts.append(cp[:, :3] + cp[:, 3:4])
+        allp = np.concatenate(pts) if pts else np.zeros((1, 3), np.float32)
+        scene["aabb_min"] = allp.min(axis=0).astype(np.float32)
+        scene["aabb_max"] = allp.max(axis=0).astype(np.float32)
+        return scene
+
+
+def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Build acceleration structures (reference Scene::CommitScene +
+    eager Embree BVH builds, scene.cc:96-104 / raytracer_impl.cc:49-152).
+
+    Adds the flat threaded-BVH arrays consumed by ops.intersect.
+    """
+    from ..geometry.bvh import build_bvh, triangle_bounds
+
+    bmin, bmax = triangle_bounds(scene["tri_v0"], scene["tri_e1"],
+                                 scene["tri_e2"])
+    bvh = build_bvh(bmin, bmax)
+    scene = dict(scene)
+    scene["bvh_min"] = bvh.aabb_min
+    scene["bvh_max"] = bvh.aabb_max
+    scene["bvh_skip"] = bvh.skip
+    scene["bvh_prim_offset"] = bvh.prim_offset
+    scene["bvh_prim_ids"] = bvh.prim_ids
+    return scene
+
+
+def scene_to_device(scene: Dict) -> Dict:
+    """numpy scene dict -> jnp device arrays (pytree passed into jit)."""
+    import jax.numpy as jnp
+
+    def conv(x):
+        if isinstance(x, dict):
+            return {k: conv(v) for k, v in x.items()}
+        return jnp.asarray(x)
+
+    return conv(scene)

@@ -1,0 +1,101 @@
+"""Wavefront integrator validation against the independent numpy oracle and
+basic physical invariants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbrlab_tpu.render.integrator import render, render_sample
+from pbrlab_tpu.scene.demo import build_demo_scene
+from pbrlab_tpu.scene.scene import scene_to_device
+
+from .oracle import render_oracle
+
+W = H = 24
+SPP = 96
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    scene_np, _ = build_demo_scene(subdiv=1, lambert_only=True)
+    return scene_np, scene_to_device(scene_np)
+
+
+def test_matches_numpy_oracle(small_scene):
+    """Same physics, independent implementations: per-pixel agreement at
+    moderate spp within Monte-Carlo tolerance (SURVEY.md §4/§7 parity plan)."""
+    scene_np, scene_dev = small_scene
+    ours = np.asarray(render(scene_dev, W, H, SPP, max_steps=16))
+    ref = render_oracle(scene_np, W, H, SPP, seed=42, max_bounces=16)
+    # global energy agreement ~1%
+    np.testing.assert_allclose(ours.mean(), ref.mean(), rtol=0.04)
+    # per-channel means
+    np.testing.assert_allclose(ours.mean(axis=(0, 1)), ref.mean(axis=(0, 1)),
+                               rtol=0.06)
+    # per-pixel: smoothed agreement (MC noise ~ 1/sqrt(spp))
+    diff = np.abs(ours - ref).mean()
+    assert diff < 0.05 * max(ref.mean(), 1e-3) + 0.03, (
+        f"mean abs diff {diff}, ref mean {ref.mean()}")
+
+
+def test_deterministic_across_runs(small_scene):
+    _, scene_dev = small_scene
+    a = np.asarray(render_sample(scene_dev, W, H, jnp.uint32(3), seed=1,
+                                 max_steps=8))
+    b = np.asarray(render_sample(scene_dev, W, H, jnp.uint32(3), seed=1,
+                                 max_steps=8))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(render_sample(scene_dev, W, H, jnp.uint32(4), seed=1,
+                                 max_steps=8))
+    assert not np.array_equal(a, c)
+
+
+def test_finite_and_nonnegative(small_scene):
+    _, scene_dev = small_scene
+    img = np.asarray(render(scene_dev, W, H, 4, max_steps=8))
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    assert img.max() > 0  # something is lit
+
+
+def test_principled_scene_renders(demo_scene):
+    img = np.asarray(render(demo_scene, 16, 16, 4, max_steps=12))
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    assert img.max() > 0
+
+
+def test_material_gradients_exist(small_scene):
+    """Radiance must be differentiable w.r.t. material parameters."""
+    _, scene_dev = small_scene
+
+    def loss(base_color):
+        s = dict(scene_dev)
+        m = dict(s["materials"])
+        m["base_color"] = base_color
+        s["materials"] = m
+        img = render_sample(s, 8, 8, jnp.uint32(0), max_steps=6)
+        return jnp.sum(img)
+
+    g = jax.grad(loss)(scene_dev["materials"]["base_color"])
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0.0
+
+
+def test_light_emission_gradient_matches_fd(small_scene):
+    """Emission enters linearly -> jax.grad must match finite differences
+    almost exactly (BASELINE.md gradient target)."""
+    _, scene_dev = small_scene
+
+    def loss(scale):
+        s = dict(scene_dev)
+        s["face_emission"] = s["face_emission"] * scale
+        img = render_sample(s, 8, 8, jnp.uint32(0), max_steps=6)
+        return jnp.sum(img)
+
+    g = jax.grad(loss)(jnp.float32(1.0))
+    eps = 1e-2
+    fd = (loss(jnp.float32(1.0 + eps)) - loss(jnp.float32(1.0 - eps))) / (
+        2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-2)

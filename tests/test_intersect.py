@@ -1,0 +1,71 @@
+"""BVH correctness vs brute-force intersection (SURVEY.md §4 strategy)."""
+import jax.numpy as jnp
+import numpy as np
+
+from pbrlab_tpu.core.math import INF
+from pbrlab_tpu.ops.intersect import (intersect_bruteforce, intersect_bvh,
+                                      occluded_bvh)
+
+
+def _random_rays(scene, n, rng):
+    bmin = np.asarray(scene["aabb_min"])
+    bmax = np.asarray(scene["aabb_max"])
+    center = 0.5 * (bmin + bmax)
+    ext = (bmax - bmin).max()
+    org = center + (rng.random((n, 3)) - 0.5) * 2.5 * ext
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (jnp.asarray(org, jnp.float32), jnp.asarray(d, jnp.float32),
+            jnp.zeros((n,), jnp.float32), jnp.full((n,), INF, jnp.float32))
+
+
+def test_bvh_matches_bruteforce(demo_scene, rng_np):
+    org, d, mn, mx = _random_rays(demo_scene, 512, rng_np)
+    ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
+    got = intersect_bvh(demo_scene, org, d, mn, mx)
+    hit_ref = np.asarray(ref["prim"]) >= 0
+    hit_got = np.asarray(got["prim"]) >= 0
+    np.testing.assert_array_equal(hit_ref, hit_got)
+    # same t everywhere (prim ids can differ on shared edges)
+    np.testing.assert_allclose(np.asarray(got["t"])[hit_ref],
+                               np.asarray(ref["t"])[hit_ref], rtol=1e-4)
+    same_prim = np.asarray(ref["prim"]) == np.asarray(got["prim"])
+    assert same_prim[hit_ref].mean() > 0.99
+    uvok = same_prim & hit_ref
+    np.testing.assert_allclose(np.asarray(got["u"])[uvok],
+                               np.asarray(ref["u"])[uvok], atol=1e-4)
+
+
+def test_bvh_respects_max_t(demo_scene, rng_np):
+    org, d, mn, _ = _random_rays(demo_scene, 512, rng_np)
+    full = intersect_bvh(demo_scene, org, d, mn,
+                         jnp.full((512,), INF, jnp.float32))
+    t = np.asarray(full["t"])
+    hit = np.asarray(full["prim"]) >= 0
+    # shrink max_t below each hit -> those lanes must miss
+    limited = intersect_bvh(demo_scene, org, d, mn,
+                            jnp.asarray(np.where(hit, t * 0.5, 1.0),
+                                        jnp.float32))
+    assert (np.asarray(limited["prim"])[hit] == -1).all()
+
+
+def test_occluded_matches_closest(demo_scene, rng_np):
+    org, d, mn, mx = _random_rays(demo_scene, 512, rng_np)
+    closest = intersect_bvh(demo_scene, org, d, mn, mx)
+    occ = occluded_bvh(demo_scene, org, d, mn, mx)
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.asarray(closest["prim"]) >= 0)
+
+
+def test_inside_box_hits(demo_scene):
+    # rays from the box center away from the +z opening must hit geometry
+    g = np.random.default_rng(7)
+    d = g.normal(size=(512, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = d[d[:, 2] < -0.05]
+    n = d.shape[0]
+    org = jnp.broadcast_to(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+                           (n, 3))
+    res = intersect_bvh(demo_scene, org, jnp.asarray(d, jnp.float32),
+                        jnp.zeros((n,)), jnp.full((n,), INF))
+    assert (np.asarray(res["prim"]) >= 0).all()
