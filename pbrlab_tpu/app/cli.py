@@ -1,0 +1,94 @@
+"""CLI renderer — the analogue of pbrlab-cli.
+
+Reference: /root/reference/pc/pbrlab-cli.cc:16-60 + pc-common.cc:239-270:
+obj/hair file arguments -> scene -> render -> average -> sRGB -> PNG.
+
+Usage: python -m pbrlab_tpu.app.cli scene.obj [more.obj ...] \
+           [--width 512 --height 512 --spp 32 --out rgba.png]
+A built-in `demo` argument renders the procedural cornellbox scene.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene_from_files(paths):
+    from ..io.obj import load_obj, material_params_to_builder
+    from ..scene.scene import SceneBuilder, commit
+
+    b = SceneBuilder()
+    for path in paths:
+        if path.endswith((".hair", ".cyhair")):
+            from ..io.cyhair import load_cyhair_as_bezier
+
+            curve = load_cyhair_as_bezier(path)
+            curve.material_id = b.materials.add_hair("hair")
+            b.add_instance([], curves=[curve])
+            continue
+        meshes, mat_list, mat_names = load_obj(path)
+        ids = material_params_to_builder(mat_list, mat_names, b)
+        for mesh in meshes:
+            mesh.material_ids = np.asarray(
+                [ids[m] for m in mesh.material_ids], np.int32)
+            light_ids = None
+            # meshes named light* get an emission=3 area light attached
+            # (pc-common.cc:172-186)
+            if mesh.name.startswith("light"):
+                lid = b.add_area_light_param((3.0, 3.0, 3.0))
+                light_ids = [np.full((mesh.num_faces,), lid, np.int32)]
+            b.add_instance([mesh], light_ids=light_ids)
+    return commit(b.build())
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="pbrlab_tpu renderer")
+    ap.add_argument("scenes", nargs="+",
+                    help=".obj / .hair files, or 'demo'")
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--spp", type=int, default=32)
+    ap.add_argument("--max-steps", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="rgba.png")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from ..render.film import save_png
+    from ..render.integrator import render
+    from ..scene.scene import scene_to_device
+
+    if args.scenes == ["demo"]:
+        from ..scene.demo import build_demo_scene
+
+        scene_np, _ = build_demo_scene()
+    else:
+        import os
+
+        for path in args.scenes:
+            if not os.path.exists(path):
+                print(f"error: failed loading scene file [{path}]",
+                      file=sys.stderr)
+                return 1
+        scene_np = build_scene_from_files(args.scenes)
+    print(f"scene: {scene_np['tri_v0'].shape[0]} triangles, "
+          f"{scene_np['curve_pts'].shape[0]} curve segments", file=sys.stderr)
+    scene = scene_to_device(scene_np)
+
+    t0 = time.time()
+    img = render(scene, args.width, args.height, args.spp, seed=args.seed,
+                 max_steps=args.max_steps)
+    jax.block_until_ready(img)
+    dt = time.time() - t0
+    print(f"rendered {args.width}x{args.height}@{args.spp}spp in {dt:.2f}s",
+          file=sys.stderr)
+    save_png(args.out, np.asarray(img))
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

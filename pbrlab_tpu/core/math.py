@@ -33,7 +33,7 @@ def vlength(a):
 
 def vnormalize(a):
     """Normalize like the reference (no zero-guard: 1/sqrt)."""
-    inv = 1.0 / jnp.sqrt(jnp.maximum(vdot(a, a), 1e-30))
+    inv = 1.0 / jnp.sqrt(jnp.maximum(vdot(a, a), 1e-20))
     return a * inv[..., None]
 
 
@@ -102,7 +102,7 @@ def fresnel_dielectric_cos(cos_i, eta):
     eta_eff = jnp.where(cos_i < 0.0, 1.0 / jnp.where(eta == 0.0, 1.0, eta), eta)
     c = jnp.abs(cos_i)
     g2 = eta_eff * eta_eff - 1.0 + c * c
-    g = jnp.sqrt(jnp.maximum(g2, 1e-30))
+    g = jnp.sqrt(jnp.maximum(g2, 1e-20))
     a = (g - c) / (g + c)
     b = (c * (g + c) - 1.0) / (c * (g - c) + 1.0)
     refl = 0.5 * a * a * (1.0 + b * b)

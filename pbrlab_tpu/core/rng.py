@@ -21,16 +21,20 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_MULT = jnp.uint32(747796405)
-_INC = jnp.uint32(2891336453)
-_OUT_MULT = jnp.uint32(277803737)
-_GOLDEN = jnp.uint32(0x9E3779B9)
+# numpy scalars (not jnp): jnp module-level constants would be committed to
+# the default device and captured as device constants at every trace.
+import numpy as np
+
+_MULT = np.uint32(747796405)
+_INC = np.uint32(2891336453)
+_OUT_MULT = np.uint32(277803737)
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def _pcg_out(state):
     """PCG output permutation on a uint32 state."""
-    word = ((state >> ((state >> jnp.uint32(28)) + jnp.uint32(4))) ^ state) * _OUT_MULT
-    return (word >> jnp.uint32(22)) ^ word
+    word = ((state >> ((state >> np.uint32(28)) + np.uint32(4))) ^ state) * _OUT_MULT
+    return (word >> np.uint32(22)) ^ word
 
 
 def hash_u32(x):
@@ -45,7 +49,7 @@ def seed_state(pixel_id, sample_id, seed=0):
     sample_id = jnp.asarray(sample_id).astype(jnp.uint32)
     seed = jnp.asarray(seed).astype(jnp.uint32)
     h = hash_u32(pixel_id ^ (seed * _GOLDEN))
-    h = hash_u32(h ^ (sample_id * jnp.uint32(0x85EBCA6B)))
+    h = hash_u32(h ^ (sample_id * np.uint32(0x85EBCA6B)))
     return h
 
 
@@ -59,7 +63,7 @@ def draw(state):
 
     state = next_state(state)
     word = _pcg_out(state)
-    bits = (word >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    bits = (word >> np.uint32(9)) | np.uint32(0x3F800000)
     u = lax.bitcast_convert_type(bits, jnp.float32) - 1.0
     return state, u
 

@@ -206,3 +206,80 @@ def occluded_bvh(scene, org, direction, min_t, max_t):
                      scene["bvh_prim_offset"], scene["bvh_prim_ids"], tris,
                      org, direction, min_t, max_t, any_hit=True)
     return res["prim"] >= 0
+
+
+def has_curves(scene) -> bool:
+    """Static (trace-time) check whether the scene contains hair."""
+    return int(scene["curve_pts"].shape[0]) > 0
+
+
+def _use_dense(scene) -> bool:
+    """Static backend choice: the gather-free dense Pallas kernel on TPU,
+    the threaded BVH on CPU (XLA:CPU gathers are fast; Pallas interpret is
+    not). Override with PBRLAB_TRACE_BACKEND=dense|bvh."""
+    import os
+
+    mode = os.environ.get("PBRLAB_TRACE_BACKEND", "auto")
+    if mode == "dense":
+        return True
+    if mode == "bvh":
+        return False
+    return "dense_tris" in scene and jax.default_backend() != "cpu"
+
+
+def _closest_tri(scene, org, direction, min_t, max_t):
+    if _use_dense(scene):
+        from .pallas.dense import dense_trace
+
+        return dense_trace(scene["dense_tris"], scene["dense_cluster_aabb"],
+                           org, direction, min_t, max_t)
+    return intersect_bvh(scene, org, direction, min_t, max_t)
+
+
+def _occluded_tri(scene, org, direction, min_t, max_t):
+    if _use_dense(scene):
+        from .pallas.dense import dense_trace
+
+        res = dense_trace(scene["dense_tris"], scene["dense_cluster_aabb"],
+                          org, direction, min_t, max_t, any_hit=True)
+        return res["prim"] >= 0
+    return occluded_bvh(scene, org, direction, min_t, max_t)
+
+
+def trace_scene(scene, org, direction, min_t, max_t):
+    """Closest hit over triangles AND hair curves (rtcIntersect1 equivalent
+    over the two-geometry global scene, raytracer_impl.cc:268-278).
+
+    Returns dict(t, u, v, prim, seg, is_curve, tangent): prim is the
+    triangle id (-1 otherwise), seg the curve segment id (-1 otherwise).
+    """
+    from .curves import curve_trace
+
+    tri = _closest_tri(scene, org, direction, min_t, max_t)
+    n = org.shape[0]
+    if not has_curves(scene):
+        return {**tri, "seg": jnp.full((n,), -1, jnp.int32),
+                "is_curve": jnp.zeros((n,), bool),
+                "tangent": jnp.zeros((n, 3), jnp.float32)}
+    cur = curve_trace(scene, org, direction, min_t, max_t)
+    curve_closer = (cur["seg"] >= 0) & (cur["t"] < tri["t"])
+    return {
+        "t": jnp.where(curve_closer, cur["t"], tri["t"]),
+        "u": jnp.where(curve_closer, cur["u"], tri["u"]),
+        "v": jnp.where(curve_closer, cur["v"], tri["v"]),
+        "prim": jnp.where(curve_closer, -1, tri["prim"]),
+        "seg": jnp.where(curve_closer, cur["seg"], -1),
+        "is_curve": curve_closer,
+        "tangent": cur["tangent"],
+    }
+
+
+def occluded_scene(scene, org, direction, min_t, max_t):
+    """Shadow any-hit over triangles AND curves (rtcOccluded1 equivalent)."""
+    from .curves import curve_trace
+
+    occ = _occluded_tri(scene, org, direction, min_t, max_t)
+    if has_curves(scene):
+        cur = curve_trace(scene, org, direction, min_t, max_t, any_hit=True)
+        occ = occ | (cur["seg"] >= 0)
+    return occ

@@ -31,17 +31,19 @@ def camera_setup(aabb_min, aabb_max, width: int, height: int):
     return org, x_corner, y_corner, z_corner, dx, dy
 
 
-def generate_rays(scene, width: int, height: int, u1, u2
+def generate_rays(scene, width: int, height: int, u1, u2, lane=None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Primary rays for all pixels; u1/u2 are per-lane jitters [N].
+    """Primary rays; u1/u2 are per-lane jitters [N].
 
     Lane i maps to pixel (y, x) = divmod(i, width) (row-major, matching the
-    reference's layer indexing y*width+x).
+    reference's layer indexing y*width+x). Pass an explicit `lane` array of
+    pixel indices to generate a slice of the image (sharded rendering).
     """
     org, x_corner, y_corner, z_corner, dx, dy = camera_setup(
         scene["aabb_min"], scene["aabb_max"], width, height)
-    n = width * height
-    lane = jnp.arange(n, dtype=jnp.int32)
+    if lane is None:
+        lane = jnp.arange(width * height, dtype=jnp.int32)
+    n = lane.shape[0]
     px = (lane % width).astype(jnp.float32)
     py = (lane // width).astype(jnp.float32)
     target = jnp.stack(

@@ -36,9 +36,9 @@ from ..core import rng as prng
 from ..core.math import EPS, INF, saturate, spectrum_norm, vdot, vnormalize
 from ..core.onb import branchless_onb, to_global, to_local
 from ..core.sampling import power_heuristic_weight, uniform_sample_sphere
-from ..ops.intersect import intersect_bvh, occluded_bvh
+from ..ops.intersect import has_curves, occluded_scene, trace_scene
 from ..scene.lights import implicit_area_light, sample_all_light
-from ..scene.materials import KIND_PRINCIPLED
+from ..scene.materials import KIND_HAIR, KIND_PRINCIPLED
 from ..scene.textures import fetch_float3
 from ..shading import principled
 from ..shading.principled import PrincipledBsdf
@@ -120,28 +120,45 @@ def _fetch_colors(scene, mat, uv):
     return base, sub
 
 
-def _nee(scene, pos, ez, omega_out_local, ex, ey, bsdf: PrincipledBsdf,
-         u0, u1, u2, shade_mask):
-    """Next-event estimation (DirectIllumination, shader-utils.h:166-212)."""
+def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
+         bsdf: PrincipledBsdf, hair_b, is_hair, u0, u1, u2, shade_mask):
+    """Next-event estimation (DirectIllumination, shader-utils.h:166-212).
+
+    geom_normal is the normal used for the geometric terms: the flipped
+    shading normal ez for principled lanes, the curve tangent ex for hair
+    lanes (hair-shader.cc:190). Hair lanes skip the hemisphere check
+    (hemisphere=false, :199) and divide f*cos by |omega_l.x| (:196-198).
+    """
     light = sample_all_light(scene, u0, u1, u2)
     to_light = light.position - pos
-    dist = jnp.sqrt(jnp.maximum(vdot(to_light, to_light), 1e-30))
+    dist = jnp.sqrt(jnp.maximum(vdot(to_light, to_light), 1e-12))
     wl = to_light / dist[..., None]
     wl_dot_nl = -vdot(wl, light.normal)
-    wl_dot_np = vdot(wl, ez)
+    wl_dot_np = vdot(wl, geom_normal)
     denom = wl_dot_nl * wl_dot_np
-    pdf_sigma = jnp.abs(light.pdf * dist * dist
-                        / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20))
-    hemisphere_ok = (wl_dot_nl > 0.0) & (wl_dot_np > 0.0)
+    # clamp below inf: an overflowing pdf kills the sample anyway, but an
+    # inf would create inf/inf NaNs in the power-heuristic backward pass
+    pdf_sigma = jnp.minimum(
+        jnp.abs(light.pdf * dist * dist
+                / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)), 1e30)
+    hemisphere_ok = is_hair | ((wl_dot_nl > 0.0) & (wl_dot_np > 0.0))
     candidate = shade_mask & light.valid & hemisphere_ok & (pdf_sigma > 0.0)
     shadow_max = jnp.maximum(EPS, dist - EPS)
-    occluded = occluded_bvh(
+    occluded = occluded_scene(
         scene, pos, wl, jnp.full_like(dist, EPS),
         jnp.where(candidate, shadow_max, -1.0))
     omega_l = to_local(wl, ex, ey, ez)
     f, pdf_b = principled.eval_bsdf(omega_l, omega_out_local, bsdf)
+    if hair_b is not None:
+        from ..shading import hair as hair_mod
+
+        fh_cos, pdf_h = hair_mod.eval_cos_pdf(omega_l, omega_out_local,
+                                              hair_b)
+        fh = fh_cos / jnp.maximum(jnp.abs(omega_l[..., 0]), 1e-12)[..., None]
+        f = jnp.where(is_hair[..., None], fh, f)
+        pdf_b = jnp.where(is_hair, pdf_h, pdf_b)
     w = power_heuristic_weight(pdf_sigma, pdf_b)
-    contrib = f * light.emission * (w / jnp.maximum(pdf_sigma, 1e-30))[..., None]
+    contrib = f * light.emission * (w / jnp.maximum(pdf_sigma, 1e-12))[..., None]
     ok = candidate & ~occluded
     contrib = jnp.where(ok[..., None] & jnp.isfinite(contrib).all(-1,
                                                                   keepdims=True),
@@ -167,18 +184,36 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     max_t = jnp.where(volume_mode, t_scatter, INF)
     max_t = jnp.where(state.alive, max_t, -1.0)  # dead lanes: no traversal
 
-    # ---- one closest-hit trace for all lanes ----
+    # ---- one closest-hit trace for all lanes (triangles + hair) ----
     hit = jax.tree_util.tree_map(
         lax.stop_gradient,
-        intersect_bvh(scene, state.org, direction, min_t, max_t))
+        trace_scene(scene, state.org, direction, min_t, max_t))
     prim = hit["prim"]
-    hit_ok = prim >= 0
+    is_curve = hit["is_curve"]
+    hit_ok = (prim >= 0) | is_curve
     safe_prim = jnp.maximum(prim, 0)
+    safe_seg = jnp.maximum(hit["seg"], 0)
     t_eff = jnp.where(volume_mode & ~hit_ok, t_scatter, hit["t"])
-    pos = state.org + t_eff[..., None] * direction
+    # Missed surface lanes carry t = INF (1.8e18); downstream products
+    # (dist^2, t^2) would overflow to inf and poison the BACKWARD pass with
+    # inf/inf -> NaN cotangents even though the primal is masked. Use a
+    # finite dummy t for them (they are dead; values are masked out).
+    t_shade = jnp.where(hit_ok | volume_mode, t_eff, 1.0)
+    pos = state.org + t_shade[..., None] * direction
     ng, ns, uv = _surface_attribs(scene, prim, hit["u"], hit["v"])
+    # curve hits deliver the tangent through the normal slot
+    # (scene.cc:222-224, hair-shader.cc:165)
+    ng = jnp.where(is_curve[..., None], hit["tangent"], ng)
+    ns = jnp.where(is_curve[..., None], hit["tangent"], ns)
+    uv = jnp.where(is_curve[..., None],
+                   jnp.stack([hit["u"], hit["v"]], axis=-1), uv)
     ng, ns, uv, pos = map(lax.stop_gradient, (ng, ns, uv, pos))
     face_dir = _classify(direction, ng, ns)
+    if has_curves(scene):
+        hit_instance = jnp.where(is_curve, scene["curve_instance"][safe_seg],
+                                 scene["face_instance"][safe_prim])
+    else:
+        hit_instance = scene["face_instance"][safe_prim]
 
     alive = state.alive
     contribution = state.contribution
@@ -188,12 +223,12 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     s_alive = alive & surface_mode
     # miss -> dead (no environment light; reference render.cc:34-37)
     has_em, emission, pdf_area = implicit_area_light(scene, safe_prim)
-    a2sa = jnp.abs(t_eff * t_eff
-                   / jnp.where(jnp.abs(vdot(ns, direction)) > 1e-20,
-                               vdot(ns, direction), 1e-20))
+    a2sa = jnp.abs(t_shade * t_shade
+                   / jnp.where(jnp.abs(vdot(ns, direction)) > 1e-12,
+                               vdot(ns, direction), 1e-12))
     mis_w = jnp.where(state.first, 1.0,
                       power_heuristic_weight(state.bsdf_pdf, pdf_area * a2sa))
-    add_em = s_alive & hit_ok & (face_dir == FRONT) & has_em
+    add_em = s_alive & hit_ok & ~is_curve & (face_dir == FRONT) & has_em
     contribution = contribution + jnp.where(
         add_em[..., None], mis_w[..., None] * emission * throughput, 0.0)
 
@@ -202,7 +237,7 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     rr_die = rr_p < urr
     throughput = jnp.where(
         (s_alive & ~rr_die)[..., None],
-        throughput / jnp.maximum(rr_p, 1e-30)[..., None], throughput)
+        throughput / jnp.maximum(rr_p, 1e-12)[..., None], throughput)
     s_alive = s_alive & hit_ok & ~rr_die
 
     # ================== VOLUME lanes: one walk step ======================
@@ -210,13 +245,13 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     trans = jnp.exp(-state.sss_sigma_t * t_eff[..., None])
     pdf_hit = vdot(channel_pdf, trans)
     pdf_scatter = vdot(channel_pdf, state.sss_sigma_t * trans)
-    sss_tp_hit = state.sss_tp * trans / jnp.maximum(pdf_hit, 1e-30)[..., None]
+    sss_tp_hit = state.sss_tp * trans / jnp.maximum(pdf_hit, 1e-12)[..., None]
     sss_tp_scat = (state.sss_tp * (state.sss_sigma_s * trans)
-                   / jnp.maximum(pdf_scatter, 1e-30)[..., None])
+                   / jnp.maximum(pdf_scatter, 1e-12)[..., None])
     sss_tp = jnp.where(hit_ok[..., None], sss_tp_hit, sss_tp_scat)
 
-    exit_ok = (v_alive & hit_ok
-               & (scene["face_instance"][safe_prim] == state.sss_instance)
+    exit_ok = (v_alive & hit_ok & ~is_curve
+               & (hit_instance == state.sss_instance)
                & (face_dir == BACK))
     # invalid exit (other instance / not backface) kills the path
     # (random-walk-sss.h:371-384 -> pdf 0 -> black)
@@ -228,7 +263,7 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     pv = saturate(spectrum_norm(sss_tp))
     v_rr_die = v_scatter & (uvrr >= pv)
     sss_tp = jnp.where(v_scatter[..., None],
-                       sss_tp / jnp.maximum(pv, 1e-30)[..., None], sss_tp)
+                       sss_tp / jnp.maximum(pv, 1e-12)[..., None], sss_tp)
 
     # ===================== SHADE (surface hit or SSS exit) ===============
     is_exit = exit_ok
@@ -236,17 +271,32 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     s_dead_amb = s_alive & (face_dir == AMBIGUOUS)
     shade_mask = s_shade | is_exit
 
-    mat_id = scene["face_material"][safe_prim]
+    if has_curves(scene):
+        mat_id = jnp.where(is_curve, scene["curve_material"][safe_seg],
+                           scene["face_material"][safe_prim])
+    else:
+        mat_id = scene["face_material"][safe_prim]
     mat = _gather_material(scene, mat_id)
-    is_principled = mat["kind"] == KIND_PRINCIPLED
-    # non-principled (hair) on the surface path: handled by hair shader once
-    # curves are intersectable; triangle faces are always principled here.
+    hair_lane = is_curve & (mat["kind"] == KIND_HAIR) & s_shade
 
-    ez = jnp.where(is_exit[..., None], ns,
-                   jnp.where((face_dir == FRONT)[..., None], ns, -ns))
-    ex, ey = branchless_onb(ez)
+    # principled frame: ez = front ? ns : -ns (cycles-principled-shader.cc
+    # :427-432); SSS exit keeps +ns (random-walk-sss.h:386-398).
+    # hair frame: ex = tangent, ey = normalize((wo x ex) x ex), ez = ex x ey
+    # (hair-shader.cc:164-173).
+    ez_p = jnp.where(is_exit[..., None], ns,
+                     jnp.where((face_dir == FRONT)[..., None], ns, -ns))
+    ex_p, ey_p = branchless_onb(ez_p)
     omega_out_g = jnp.where(is_exit[..., None], direction, -direction)
+    ex_h = ns  # tangent
+    ey_h = vnormalize(jnp.cross(jnp.cross(omega_out_g, ex_h), ex_h))
+    ez_h = jnp.cross(ex_h, ey_h)
+    hl = hair_lane[..., None]
+    ex = jnp.where(hl, ex_h, ex_p)
+    ey = jnp.where(hl, ey_h, ey_p)
+    ez = jnp.where(hl, ez_h, ez_p)
     omega_out = to_local(omega_out_g, ex, ey, ez)
+    # geometric normal for NEE terms: ez for principled, tangent for hair
+    geom_normal = jnp.where(hl, ex_h, ez_p)
 
     base_color, sub_color = _fetch_colors(scene, mat, uv)
     bsdf = principled.param_to_bsdf(mat, base_color, sub_color)
@@ -256,25 +306,43 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
             is_exit.reshape(is_exit.shape + (1,) * (a.ndim - 1)), b, a),
         bsdf, exit_bsdf)
 
+    with_hair = has_curves(scene)
+    if with_hair:
+        from ..shading import hair as hair_mod
+
+        hair_b = hair_mod.param_to_bsdf(mat, hit["v"])
+    else:
+        hair_b = None
+
     # --- NEE ---
     rng_state, un = prng.draw_n(rng_state, 3)
-    nee = _nee(scene, pos, ez, omega_out, ex, ey, bsdf, un[0], un[1], un[2],
-               shade_mask & is_principled)
+    nee = _nee(scene, pos, geom_normal, omega_out, ex, ey, ez, bsdf, hair_b,
+               hair_lane, un[0], un[1], un[2], shade_mask)
     contribution = contribution + jnp.where(shade_mask[..., None],
                                             throughput * nee, 0.0)
 
-    # --- closure sampling ---
-    rng_state, ub = prng.draw_n(rng_state, 3)
+    # --- closure sampling (principled: 3 draws; hair: 4,
+    #     hair-shader.cc:207-211) ---
+    rng_state, ub = prng.draw_n(rng_state, 4)
     omega_in, f, pdf_b, pick_sss_raw = principled.sample_surface(
         omega_out, bsdf, ub[0], ub[1], ub[2])
     # SSS entry is only valid from front faces (random-walk-sss.h:236-239);
     # back-face SSS picks terminate the path.
-    pick_sss = pick_sss_raw & s_shade & (face_dir == FRONT)
-    sss_die = pick_sss_raw & s_shade & (face_dir != FRONT)
+    pick_sss = pick_sss_raw & s_shade & (face_dir == FRONT) & ~hair_lane
+    sss_die = pick_sss_raw & s_shade & (face_dir != FRONT) & ~hair_lane
 
     # surface continuation (non-SSS): throughput *= f cos / pdf
     cos_i = jnp.abs(omega_in[..., 2])
-    factor = f * (cos_i / jnp.maximum(pdf_b, 1e-30))[..., None]
+    factor = f * (cos_i / jnp.maximum(pdf_b, 1e-12))[..., None]
+    if with_hair:
+        wi_h, fh_cos, pdf_h = hair_mod.sample(omega_out, hair_b, ub[0],
+                                              ub[1], ub[2], ub[3])
+        omega_in = jnp.where(hl, wi_h, omega_in)
+        # hair throughput is f*cos / pdf with cos folded into f
+        # (hair-shader.cc:225)
+        factor = jnp.where(
+            hl, fh_cos / jnp.maximum(pdf_h, 1e-12)[..., None], factor)
+        pdf_b = jnp.where(hair_lane, pdf_h, pdf_b)
     bad = (pdf_b <= 0.0) | ~jnp.isfinite(factor).all(-1) | ~jnp.isfinite(pdf_b)
     cont_surface = shade_mask & ~pick_sss & ~bad
     new_dir_g = to_global(omega_in, ex, ey, ez)
@@ -328,18 +396,18 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
         sss_tp=jnp.where(entry_ok[..., None], sss_tp0,
                          jnp.where(volume_mode[..., None], sss_tp,
                                    state.sss_tp)),
-        sss_instance=jnp.where(entry_ok,
-                               scene["face_instance"][safe_prim],
-                               state.sss_instance),
+        sss_instance=jnp.where(entry_ok, hit_instance, state.sss_instance),
     )
 
 
-def init_state(scene, width: int, height: int, sample_id, seed) -> PathState:
-    n = width * height
-    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
-    rng_state = prng.seed_state(pixel_ids, sample_id, seed)
+def init_state(scene, width: int, height: int, sample_id, seed,
+               lane=None) -> PathState:
+    if lane is None:
+        lane = jnp.arange(width * height, dtype=jnp.int32)
+    n = lane.shape[0]
+    rng_state = prng.seed_state(lane.astype(jnp.uint32), sample_id, seed)
     rng_state, (u1, u2) = prng.draw_n(rng_state, 2)
-    org, direction = generate_rays(scene, width, height, u1, u2)
+    org, direction = generate_rays(scene, width, height, u1, u2, lane)
     f3 = jnp.zeros((n, 3), jnp.float32)
     return PathState(
         org=org, direction=direction, min_t=jnp.zeros((n,), jnp.float32),
@@ -353,10 +421,10 @@ def init_state(scene, width: int, height: int, sample_id, seed) -> PathState:
         sss_instance=jnp.full((n,), -1, jnp.int32))
 
 
-def render_sample(scene, width: int, height: int, sample_id, seed=0,
-                  max_steps: int = 32):
-    """One sample per pixel -> radiance [H, W, 3] (linear)."""
-    state = init_state(scene, width, height, sample_id, seed)
+def render_lanes(scene, width: int, height: int, sample_id, seed=0,
+                 max_steps: int = 32, lane=None):
+    """One sample for a slice of pixel lanes -> radiance [n_lanes, 3]."""
+    state = init_state(scene, width, height, sample_id, seed, lane)
 
     def body(state, depth):
         state = wavefront_step(scene, state, depth)
@@ -364,8 +432,16 @@ def render_sample(scene, width: int, height: int, sample_id, seed=0,
 
     state, _ = lax.scan(
         jax.checkpoint(body), state, jnp.arange(max_steps), unroll=1)
-    img = state.contribution.reshape(height, width, 3)
-    return jnp.where(jnp.isfinite(img), img, 0.0)
+    return jnp.where(jnp.isfinite(state.contribution),
+                     state.contribution, 0.0)
+
+
+def render_sample(scene, width: int, height: int, sample_id, seed=0,
+                  max_steps: int = 32):
+    """One sample per pixel -> radiance [H, W, 3] (linear)."""
+    contribution = render_lanes(scene, width, height, sample_id, seed,
+                                max_steps)
+    return contribution.reshape(height, width, 3)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_steps"))

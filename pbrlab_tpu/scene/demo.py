@@ -84,7 +84,8 @@ def icosphere(subdiv=3, radius=1.0, center=(0, 0, 0), scale=(1, 1, 1),
 
 
 def build_demo_scene(with_monkey=True, with_lucy=True, subdiv=3,
-                     lambert_only=False) -> Tuple[Dict, SceneBuilder]:
+                     lambert_only=False, with_hair=False
+                     ) -> Tuple[Dict, SceneBuilder]:
     """Returns (committed numpy scene dict, builder)."""
     b = SceneBuilder()
     m = b.materials
@@ -150,5 +151,13 @@ def build_demo_scene(with_monkey=True, with_lucy=True, subdiv=3,
             lid = b.add_area_light_param((3.0, 3.0, 3.0))
             light_ids = [np.full((mesh.num_faces,), lid, np.int32)]
         b.add_instance([mesh], light_ids=light_ids)
+
+    if with_hair:
+        from ..io.cyhair import make_demo_hair
+
+        hair = make_demo_hair(num_strands=96, base=(0.0, 1.35, 0.0),
+                              length=0.7)
+        hair.material_id = m.add_hair("hair")
+        b.add_instance([], curves=[hair])
 
     return commit(b.build()), b

@@ -267,6 +267,27 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     Adds the flat threaded-BVH arrays consumed by ops.intersect.
     """
     from ..geometry.bvh import build_bvh, triangle_bounds
+    from ..ops.curves import flatten_curves, subsegment_bounds
+    from ..ops.pallas.dense import pack_triangles
+
+    scene = dict(scene)
+
+    # Morton-reorder every per-face column so the dense kernel's sorted prim
+    # ids ARE the scene face ids (no remap gather in the hot loop).
+    packed, cluster_aabb, order = pack_triangles(
+        scene["tri_v0"], scene["tri_e1"], scene["tri_e2"])
+    if order.size:
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size, dtype=np.int32)
+        for key in ("tri_v0", "tri_e1", "tri_e2", "face_ng", "face_area",
+                    "face_ns", "face_has_ns", "face_uv", "face_has_uv",
+                    "face_material", "face_light", "face_instance",
+                    "face_geom", "face_emission", "face_light_pdf"):
+            scene[key] = scene[key][order]
+        if scene["emissive_faces"].size:
+            scene["emissive_faces"] = inv[scene["emissive_faces"]]
+    scene["dense_tris"] = packed
+    scene["dense_cluster_aabb"] = cluster_aabb
 
     bmin, bmax = triangle_bounds(scene["tri_v0"], scene["tri_e1"],
                                  scene["tri_e2"])
@@ -277,6 +298,17 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     scene["bvh_skip"] = bvh.skip
     scene["bvh_prim_offset"] = bvh.prim_offset
     scene["bvh_prim_ids"] = bvh.prim_ids
+
+    # hair: flatten Bezier segments into linear sub-segments + their own BVH
+    flat = flatten_curves(scene["curve_pts"])
+    scene.update(flat)
+    cmin, cmax = subsegment_bounds(flat)
+    cbvh = build_bvh(cmin, cmax)
+    scene["cbvh_min"] = cbvh.aabb_min
+    scene["cbvh_max"] = cbvh.aabb_max
+    scene["cbvh_skip"] = cbvh.skip
+    scene["cbvh_prim_offset"] = cbvh.prim_offset
+    scene["cbvh_prim_ids"] = cbvh.prim_ids
     return scene
 
 

@@ -19,16 +19,16 @@ def d_gtr1(h, alpha):
     """GTR1 distribution (microfacet-ggx.h:48-53)."""
     alpha2 = alpha * alpha
     t = 1.0 + (alpha2 - 1.0) * h[..., 2] * h[..., 2]
-    val = (alpha2 - 1.0) / (PI * jnp.log(jnp.maximum(alpha2, 1e-20)) * t)
+    val = (alpha2 - 1.0) / (PI * jnp.log(jnp.maximum(alpha2, 1e-12)) * t)
     return jnp.where(alpha >= 1.0, 1.0 / PI, val)
 
 
 def d_gtr2(h, alpha2):
     c2 = h[..., 2] * h[..., 2]
     c4 = c2 * c2
-    tan2 = (1.0 - c2) / jnp.maximum(c2, 1e-20)
+    tan2 = (1.0 - c2) / jnp.maximum(c2, 1e-12)
     return alpha2 / jnp.maximum(PI * c4 * (alpha2 + tan2) * (alpha2 + tan2),
-                                1e-30)
+                                1e-12)
 
 
 def _sample_slopes(cos_theta_i, sin_theta_i, randu, randv):
@@ -114,9 +114,9 @@ def eval_pdf(omega_in, omega_out, alpha_x, alpha_y, distrib):
     cos_no2 = cos_no * cos_no
     cos_ni2 = cos_ni * cos_ni
     g1o_iso = 2.0 / (1.0 + safe_sqrt(
-        1.0 + alpha2_g * (1.0 - cos_no2) / jnp.maximum(cos_no2, 1e-20)))
+        1.0 + alpha2_g * (1.0 - cos_no2) / jnp.maximum(cos_no2, 1e-12)))
     g1i_iso = 2.0 / (1.0 + safe_sqrt(
-        1.0 + alpha2_g * (1.0 - cos_ni2) / jnp.maximum(cos_ni2, 1e-20)))
+        1.0 + alpha2_g * (1.0 - cos_ni2) / jnp.maximum(cos_ni2, 1e-12)))
 
     # anisotropic branch
     mz = jnp.where(jnp.abs(m[..., 2]) < 1e-12, 1e-12, m[..., 2])
@@ -126,12 +126,12 @@ def eval_pdf(omega_in, omega_out, alpha_x, alpha_y, distrib):
     cos_m2 = m[..., 2] * m[..., 2]
     cos_m4 = cos_m2 * cos_m2
     d_aniso = 1.0 / jnp.maximum(
-        (slope_len * slope_len) * PI * alpha2 * cos_m4, 1e-30)
+        (slope_len * slope_len) * PI * alpha2 * cos_m4, 1e-12)
 
     def aniso_g1(omega, cos_n):
-        tan2 = (1.0 - cos_n * cos_n) / jnp.maximum(cos_n * cos_n, 1e-20)
+        tan2 = (1.0 - cos_n * cos_n) / jnp.maximum(cos_n * cos_n, 1e-12)
         cph, sph = omega[..., 0], omega[..., 1]
-        denom = jnp.maximum(cph * cph + sph * sph, 1e-20)
+        denom = jnp.maximum(cph * cph + sph * sph, 1e-12)
         a2 = ((cph * cph) * (alpha_x * alpha_x)
               + (sph * sph) * (alpha_y * alpha_y)) / denom
         return 2.0 / (1.0 + safe_sqrt(1.0 + a2 * tan2))
@@ -143,7 +143,7 @@ def eval_pdf(omega_in, omega_out, alpha_x, alpha_y, distrib):
     g1o = jnp.where(iso, g1o_iso, g1o_aniso)
     g1i = jnp.where(iso, g1i_iso, g1i_aniso)
 
-    common = d * 0.25 / jnp.maximum(cos_no * cos_ni, 1e-20)
+    common = d * 0.25 / jnp.maximum(cos_no * cos_ni, 1e-12)
     f = g1o * g1i * common
     if distrib == 1:
         f = 0.25 * f

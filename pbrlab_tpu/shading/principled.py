@@ -115,7 +115,7 @@ def param_to_bsdf(mat: Dict[str, jnp.ndarray], base_color, subsurface_color):
     alpha_y = r2 * aspect
     y_base = rgb_to_y(base_color)
     rho_tint = jnp.where(y_base[..., None] > 0.0,
-                         base_color / jnp.maximum(y_base[..., None], 1e-20),
+                         base_color / jnp.maximum(y_base[..., None], 1e-12),
                          0.0)
     rho_specular = lerp(jnp.ones_like(rho_tint), rho_tint,
                         specular_tint[..., None])

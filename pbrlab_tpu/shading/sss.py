@@ -77,7 +77,7 @@ def sample_scatter_distance(throughput, sigma_s, sigma_t, u0, u1):
     cdf1 = pdf[..., 0] + pdf[..., 1]
     channel = jnp.where(u0 < cdf0, 0, jnp.where(u0 < cdf1, 1, 2))
     sig = jnp.take_along_axis(sigma_t, channel[..., None], axis=-1)[..., 0]
-    distance = -jnp.log(jnp.maximum(1.0 - u1, 1e-12)) / jnp.maximum(sig, 1e-20)
+    distance = -jnp.log(jnp.maximum(1.0 - u1, 1e-12)) / jnp.maximum(sig, 1e-12)
     return distance, pdf
 
 

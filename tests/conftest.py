@@ -1,15 +1,25 @@
-"""Test harness: run on a virtual 8-device CPU mesh so sharding tests work
-anywhere (the driver validates real-TPU behavior separately)."""
-import os
+"""Test harness: force an 8-virtual-device CPU mesh.
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+jax is pre-imported with the axon TPU backend selected in this image, so
+plain env vars are not enough — override via jax.config before any backend
+initialization. Sharding tests then run anywhere; the driver validates
+real-TPU behavior separately.
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(__file__))
 
 
 @pytest.fixture(scope="session")

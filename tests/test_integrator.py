@@ -9,7 +9,7 @@ from pbrlab_tpu.render.integrator import render, render_sample
 from pbrlab_tpu.scene.demo import build_demo_scene
 from pbrlab_tpu.scene.scene import scene_to_device
 
-from .oracle import render_oracle
+from oracle import render_oracle
 
 W = H = 24
 SPP = 96
