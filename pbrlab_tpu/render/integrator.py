@@ -79,27 +79,32 @@ def _classify(direction, ng, ns):
                      jnp.where((dg > 0.0) & (ds > 0.0), BACK, AMBIGUOUS))
 
 
-def _surface_attribs(scene, prim, u, v):
-    """Gather shading attributes for hit faces (scene.cc:210-249)."""
-    p = jnp.maximum(prim, 0)
-    ng = scene["face_ng"][p]
-    corner_ns = scene["face_ns"][p]  # [N,3,3]
+def _surface_attribs(frow, u, v):
+    """Shading attributes from gathered fat face rows (scene.cc:210-249).
+
+    frow [N, 26] — the single per-lane gather of face_fat
+    (scene.build_fat_tables); one fat row replaces the reference's
+    per-attribute fetches.
+    """
+    ng = frow[:, 0:3]
+    corner_ns = frow[:, 3:12].reshape(-1, 3, 3)
     w0 = (1.0 - u - v)[..., None]
     ns_lerp = vnormalize(corner_ns[:, 0] * w0 + corner_ns[:, 1] * u[..., None]
                          + corner_ns[:, 2] * v[..., None])
-    ns = jnp.where(scene["face_has_ns"][p][..., None], ns_lerp, ng)
-    corner_uv = scene["face_uv"][p]
+    ns = jnp.where(frow[:, 18:19] > 0.0, ns_lerp, ng)
+    corner_uv = frow[:, 12:18].reshape(-1, 3, 2)
     uv_lerp = (corner_uv[:, 0] * w0 + corner_uv[:, 1] * u[..., None]
                + corner_uv[:, 2] * v[..., None])
-    uv = jnp.where(scene["face_has_uv"][p][..., None],
+    uv = jnp.where(frow[:, 19:20] > 0.0,
                    uv_lerp, jnp.stack([u, v], axis=-1))
     return ng, ns, uv
 
 
 def _gather_material(scene, mat_id):
-    m = scene["materials"]
+    from ..scene.materials import unpack_material_rows
+
     idx = jnp.maximum(mat_id, 0)
-    return {k: v[idx] for k, v in m.items()}
+    return unpack_material_rows(scene["mat_fat"][idx])
 
 
 def _fetch_colors(scene, mat, uv):
@@ -200,7 +205,10 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     # finite dummy t for them (they are dead; values are masked out).
     t_shade = jnp.where(hit_ok | volume_mode, t_eff, 1.0)
     pos = state.org + t_shade[..., None] * direction
-    ng, ns, uv = _surface_attribs(scene, prim, hit["u"], hit["v"])
+    # ONE fat-row gather per lane covers every per-face attribute; the
+    # geometric slices are stop-gradiented below, emission stays live
+    frow = scene["face_fat"][safe_prim]
+    ng, ns, uv = _surface_attribs(frow, hit["u"], hit["v"])
     # curve hits deliver the tangent through the normal slot
     # (scene.cc:222-224, hair-shader.cc:165)
     ng = jnp.where(is_curve[..., None], hit["tangent"], ng)
@@ -210,10 +218,11 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     ng, ns, uv, pos = map(lax.stop_gradient, (ng, ns, uv, pos))
     face_dir = _classify(direction, ng, ns)
     if has_curves(scene):
-        hit_instance = jnp.where(is_curve, scene["curve_instance"][safe_seg],
-                                 scene["face_instance"][safe_prim])
+        hit_instance = jnp.where(
+            is_curve, scene["curve_instance"][safe_seg],
+            frow[:, 25].astype(jnp.int32))
     else:
-        hit_instance = scene["face_instance"][safe_prim]
+        hit_instance = frow[:, 25].astype(jnp.int32)
 
     alive = state.alive
     contribution = state.contribution
@@ -222,7 +231,9 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     # =========== SURFACE lanes: emission MIS + russian roulette ==========
     s_alive = alive & surface_mode
     # miss -> dead (no environment light; reference render.cc:34-37)
-    has_em, emission, pdf_area = implicit_area_light(scene, safe_prim)
+    pdf_area = lax.stop_gradient(frow[:, 21])
+    emission = frow[:, 22:25]
+    has_em = pdf_area > 0.0
     a2sa = jnp.abs(t_shade * t_shade
                    / jnp.where(jnp.abs(vdot(ns, direction)) > 1e-12,
                                vdot(ns, direction), 1e-12))
@@ -424,6 +435,10 @@ def init_state(scene, width: int, height: int, sample_id, seed,
 def render_lanes(scene, width: int, height: int, sample_id, seed=0,
                  max_steps: int = 32, lane=None):
     """One sample for a slice of pixel lanes -> radiance [n_lanes, 3]."""
+    from ..scene.scene import build_fat_tables
+
+    if "face_fat" not in scene:
+        scene = build_fat_tables(scene)
     state = init_state(scene, width, height, sample_id, seed, lane)
 
     def body(state, depth):

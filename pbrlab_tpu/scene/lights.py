@@ -37,16 +37,24 @@ def sample_all_light(scene: Dict, u0, u1, u2) -> SampledLight:
         return SampledLight(z3, z3, z3, jnp.zeros((n,), jnp.float32),
                             jnp.zeros((n,), bool))
     idx = sample_cdf(cdf, u0)
-    face = scene["emissive_faces"][idx]
     u, v = triangle_uniform_sample(u1, u2)
-    v0 = scene["tri_v0"][face]
-    e1 = scene["tri_e1"][face]
-    e2 = scene["tri_e2"][face]
+    if "light_fat" in scene:
+        # one fat-row gather: v0 e1 e2 ng emission pdf (build_fat_tables)
+        row = scene["light_fat"][idx]
+        v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        normal = row[:, 9:12]
+        emission = row[:, 12:15]
+        pdf = row[:, 15]
+    else:
+        face = scene["emissive_faces"][idx]
+        v0 = scene["tri_v0"][face]
+        e1 = scene["tri_e1"][face]
+        e2 = scene["tri_e2"][face]
+        normal = scene["face_ng"][face]
+        emission = scene["face_emission"][face]
+        pdf = scene["face_light_pdf"][face]
     # Lerp3 with P = (1-u-v)p0 + u p1 + v p2  ==  p0 + u e1 + v e2
     position = v0 + u[..., None] * e1 + v[..., None] * e2
-    normal = scene["face_ng"][face]
-    emission = scene["face_emission"][face]
-    pdf = scene["face_light_pdf"][face]
     return SampledLight(position, normal, emission, pdf,
                         jnp.ones((n,), bool))
 

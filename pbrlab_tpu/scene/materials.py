@@ -115,3 +115,56 @@ class MaterialBuilder:
 
 def lookup(name_list: List[str], name: str) -> int:
     return name_list.index(name)
+
+
+# ---- fat-row packing -------------------------------------------------------
+# TPU gathers pay per ROW, not per byte (~140M rows/s measured on v5e), so
+# the per-lane material fetch packs every column into ONE [M, K] matrix and
+# gathers a single fat row per lane; columns are sliced out afterwards.
+# Packing happens inside jit from the SoA table so gradients still flow to
+# the original differentiable leaves.
+
+_FAT_ORDER = (
+    [("kind", 1), ("base_color_tex_id", 1), ("subsurface_color_tex_id", 1)]
+    + [(k, w) for k, _, w in ALL_COLUMNS]
+)
+
+
+def fat_layout():
+    """{column: (offset, width)} for the packed material matrix."""
+    layout = {}
+    off = 0
+    for key, width in _FAT_ORDER:
+        layout[key] = (off, width)
+        off += width
+    return layout, off
+
+
+def pack_material_fat(table):
+    """SoA table dict -> [M, K] float32 matrix (jnp, differentiable)."""
+    import jax.numpy as jnp
+
+    cols = []
+    for key, width in _FAT_ORDER:
+        col = table[key]
+        col = col.astype(jnp.float32)
+        if col.ndim == 1:
+            col = col[:, None]
+        cols.append(col)
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_material_rows(rows):
+    """[N, K] gathered fat rows -> per-lane column dict (ints restored)."""
+    import jax.numpy as jnp
+
+    layout, _ = fat_layout()
+    out = {}
+    for key, (off, width) in layout.items():
+        col = rows[..., off:off + width]
+        if width == 1:
+            col = col[..., 0]
+        if key in INT_COLUMNS:
+            col = col.astype(jnp.int32)
+        out[key] = col
+    return out

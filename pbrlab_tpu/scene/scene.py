@@ -312,6 +312,54 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return scene
 
 
+def build_fat_tables(scene: Dict) -> Dict:
+    """Pack per-face / material / emissive-face data into fat row matrices.
+
+    Runs INSIDE jit at render start (cheap concatenations) so the packed
+    rows are functions of the differentiable leaves — gradients flow
+    through the pack to the original material/light columns. One fat-row
+    gather per lane then replaces ~40 thin gathers per wavefront step
+    (TPU gathers cost per row, not per byte).
+
+    face_fat [F, 26]: 0:3 ng | 3:12 corner ns | 12:18 corner uv | 18 has_ns
+      | 19 has_uv | 20 mat_id | 21 light_pdf | 22:25 emission | 25 instance
+    light_fat [LF, 16]: v0 e1 e2 ng emission pdf
+    mat_fat [M, K]: see materials.fat_layout().
+    """
+    import jax.numpy as jnp
+
+    from .materials import pack_material_fat
+
+    scene = dict(scene)
+    F = scene["tri_v0"].shape[0]
+    f32 = jnp.float32
+    face_fat = jnp.concatenate([
+        scene["face_ng"],
+        scene["face_ns"].reshape(F, 9),
+        scene["face_uv"].reshape(F, 6),
+        scene["face_has_ns"].astype(f32)[:, None],
+        scene["face_has_uv"].astype(f32)[:, None],
+        scene["face_material"].astype(f32)[:, None],
+        scene["face_light_pdf"][:, None],
+        scene["face_emission"],
+        scene["face_instance"].astype(f32)[:, None],
+    ], axis=1)
+    scene["face_fat"] = face_fat
+
+    lf = scene["emissive_faces"]
+    if lf.shape[0]:
+        scene["light_fat"] = jnp.concatenate([
+            scene["tri_v0"][lf], scene["tri_e1"][lf], scene["tri_e2"][lf],
+            scene["face_ng"][lf], scene["face_emission"][lf],
+            scene["face_light_pdf"][lf][:, None],
+        ], axis=1)
+    else:
+        scene["light_fat"] = jnp.zeros((0, 16), f32)
+
+    scene["mat_fat"] = pack_material_fat(scene["materials"])
+    return scene
+
+
 def scene_to_device(scene: Dict) -> Dict:
     """numpy scene dict -> jnp device arrays (pytree passed into jit)."""
     import jax.numpy as jnp
