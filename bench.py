@@ -25,9 +25,9 @@ import numpy as np
 
 
 def main():
-    width = height = int(os.environ.get("BENCH_RES", "1024"))
-    spp = int(os.environ.get("BENCH_SPP", "64"))
-    max_steps = int(os.environ.get("BENCH_STEPS", "16"))
+    width = height = int(os.environ.get("BENCH_RES", "512"))
+    spp = int(os.environ.get("BENCH_SPP", "16"))
+    max_steps = int(os.environ.get("BENCH_STEPS", "12"))
 
     from pbrlab_tpu.render.integrator import render
     from pbrlab_tpu.scene.demo import build_demo_scene

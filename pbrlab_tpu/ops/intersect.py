@@ -229,19 +229,21 @@ def _use_dense(scene) -> bool:
 
 def _closest_tri(scene, org, direction, min_t, max_t):
     if _use_dense(scene):
-        from .pallas.dense import dense_trace
+        from .pallas.dense_v2 import dense_trace_v2
 
-        return dense_trace(scene["dense_tris"], scene["dense_cluster_aabb"],
-                           org, direction, min_t, max_t)
+        return dense_trace_v2(scene["dense_tris"],
+                              scene["dense_cluster_aabb"],
+                              org, direction, min_t, max_t)
     return intersect_bvh(scene, org, direction, min_t, max_t)
 
 
 def _occluded_tri(scene, org, direction, min_t, max_t):
     if _use_dense(scene):
-        from .pallas.dense import dense_trace
+        from .pallas.dense_v2 import dense_trace_v2
 
-        res = dense_trace(scene["dense_tris"], scene["dense_cluster_aabb"],
-                          org, direction, min_t, max_t, any_hit=True)
+        res = dense_trace_v2(scene["dense_tris"],
+                             scene["dense_cluster_aabb"],
+                             org, direction, min_t, max_t, any_hit=True)
         return res["prim"] >= 0
     return occluded_bvh(scene, org, direction, min_t, max_t)
 

@@ -60,3 +60,20 @@ def test_dense_respects_max_t(demo_scene, rng_np):
                       jnp.asarray(np.where(hit, t * 0.5, 1.0), jnp.float32),
                       interpret=True)
     assert (np.asarray(lim["prim"])[hit] == -1).all()
+
+
+def test_dense_v2_matches_bruteforce(demo_scene, rng_np):
+    from pbrlab_tpu.ops.pallas.dense_v2 import dense_trace_v2
+
+    org, d, mn, mx = _rays(demo_scene, 512, rng_np)
+    ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
+    got = dense_trace_v2(demo_scene["dense_tris"],
+                         demo_scene["dense_cluster_aabb"], org, d, mn, mx,
+                         interpret=True)
+    hit_ref = np.asarray(ref["prim"]) >= 0
+    np.testing.assert_array_equal(hit_ref, np.asarray(got["prim"]) >= 0)
+    np.testing.assert_allclose(np.asarray(got["t"])[hit_ref],
+                               np.asarray(ref["t"])[hit_ref], rtol=1e-3,
+                               atol=1e-4)
+    same = np.asarray(ref["prim"]) == np.asarray(got["prim"])
+    assert same[hit_ref].mean() > 0.99
