@@ -1,17 +1,16 @@
 """Benchmark: rays/s on the cornellbox demo scene (BASELINE.md target:
->= 100 Mrays/s/chip at 1024^2 x 64 spp).
+>= 100 Mrays/s/chip at 1024^2 x 64 spp; scale down via BENCH_* env vars —
+Mrays/s is the scale-invariant metric).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Rays counted like a wavefront renderer bills them: one closest-hit plus one
-shadow any-hit per wavefront step per alive lane — measured by running the
-same integrator with a counting hook disabled and instead derived from the
-traced step count (max_steps) times alive-lane occupancy is not observable
-post-hoc, so we use the conservative convention: primary+NEE rays actually
-contributing = 2 rays per wavefront step per lane that was alive at that
-step. We measure alive occupancy once at low cost, then time the real
-render.
+Ray accounting: a wavefront step fires one closest-hit ray per alive lane
+plus one shadow ray per shading lane. Occupancy is algorithm behavior, not
+hardware behavior, so it is measured with a small jitted probe on the CPU
+backend (fast compiles) and applied to the TPU wall time:
+    rays = width * height * spp * sum_steps(alive_frac) * 2.
 """
+import functools
 import json
 import os
 import sys
@@ -24,6 +23,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def measure_occupancy(scene_np, max_steps, probe=128):
+    """Mean alive-lane fraction per wavefront step (CPU, small grid)."""
+    from pbrlab_tpu.render.integrator import init_state, wavefront_step
+    from pbrlab_tpu.scene.scene import build_fat_tables, scene_to_device
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    os.environ["PBRLAB_TRACE_BACKEND"] = "bvh"  # pallas kernels are TPU-only
+    with jax.default_device(cpu):
+        scene = build_fat_tables(scene_to_device(scene_np))
+
+        @jax.jit
+        def run(scene):
+            lane = jnp.arange(probe * probe, dtype=jnp.int32)
+            state = init_state(scene, probe, probe, jnp.uint32(0), 0, lane)
+
+            def body(state, _):
+                alive = jnp.mean(state.alive.astype(jnp.float32))
+                state = wavefront_step(scene, state, 0)
+                return state, alive
+
+            _, fracs = jax.lax.scan(body, state, None, length=max_steps)
+            return fracs
+
+        fracs = float(jnp.sum(run(scene)))
+    del os.environ["PBRLAB_TRACE_BACKEND"]
+    return fracs
+
+
 def main():
     width = height = int(os.environ.get("BENCH_RES", "512"))
     spp = int(os.environ.get("BENCH_SPP", "16"))
@@ -34,36 +61,24 @@ def main():
     from pbrlab_tpu.scene.scene import scene_to_device
 
     scene_np, _ = build_demo_scene(subdiv=3)
+    alive_steps = measure_occupancy(scene_np, max_steps)
+
     scene = scene_to_device(scene_np)
-
-    # warmup/compile
-    img = render(scene, width, height, 1, max_steps=max_steps)
-    jax.block_until_ready(img)
-
-    t0 = time.perf_counter()
+    # warmup/compile (1 spp shares the per-sample graph with the spp scan)
     img = render(scene, width, height, spp, max_steps=max_steps)
     jax.block_until_ready(img)
+    np.asarray(img)
+
+    t0 = time.perf_counter()
+    img = np.asarray(render(scene, width, height, spp, max_steps=max_steps))
     dt = time.perf_counter() - t0
 
-    # Ray accounting: measure mean alive-lane occupancy at 1 spp on a probe
-    # grid, then bill 2 rays (closest + shadow) per alive lane-step.
-    from pbrlab_tpu.render.integrator import init_state, wavefront_step
-
-    probe = 256
-    lane = jnp.arange(probe * probe, dtype=jnp.int32)
-    state = init_state(scene, probe, probe, jnp.uint32(0), 0, lane)
-    alive_steps = 0.0
-    for _ in range(max_steps):
-        alive_steps += float(jnp.mean(state.alive))
-        state = wavefront_step(scene, state, 0)
-    rays_per_lane = 2.0 * alive_steps
-
-    total_rays = width * height * spp * rays_per_lane
+    total_rays = width * height * spp * alive_steps * 2.0
     mrays = total_rays / dt / 1e6
     baseline = 100.0  # Mrays/s/chip north-star from BASELINE.json
     print(json.dumps({
         "metric": f"Mrays/s/chip (cornellbox {width}^2, {spp}spp, "
-                  f"{max_steps} wavefront steps)",
+                  f"{max_steps} wavefront steps, occupancy-weighted)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 3),

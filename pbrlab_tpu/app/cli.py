@@ -74,7 +74,17 @@ def main(argv=None):
                 print(f"error: failed loading scene file [{path}]",
                       file=sys.stderr)
                 return 1
-        scene_np = build_scene_from_files(args.scenes)
+        if len(args.scenes) == 1 and args.scenes[0].endswith(".json"):
+            # JSON scene description (+ optional embedded render config,
+            # wired up unlike the reference's TODO, README.md:225)
+            from ..io.scene_json import load_scene_json
+
+            scene_np, render_cfg = load_scene_json(args.scenes[0])
+            args.width = render_cfg.get("width", args.width)
+            args.height = render_cfg.get("height", args.height)
+            args.spp = render_cfg.get("max_pass", args.spp)
+        else:
+            scene_np = build_scene_from_files(args.scenes)
     print(f"scene: {scene_np['tri_v0'].shape[0]} triangles, "
           f"{scene_np['curve_pts'].shape[0]} curve segments", file=sys.stderr)
     scene = scene_to_device(scene_np)

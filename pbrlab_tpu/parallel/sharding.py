@@ -115,7 +115,7 @@ def train_step_builder(width: int, height: int, spp: int, mesh: Mesh,
 
                 def body(acc, sample_id):
                     c = render_lanes(s, width, height, sample_id, 0,
-                                     max_steps, lane_slice)
+                                     max_steps, lane_slice, remat=True)
                     return acc + c, None
 
                 acc, _ = jax.lax.scan(

@@ -433,8 +433,13 @@ def init_state(scene, width: int, height: int, sample_id, seed,
 
 
 def render_lanes(scene, width: int, height: int, sample_id, seed=0,
-                 max_steps: int = 32, lane=None):
-    """One sample for a slice of pixel lanes -> radiance [n_lanes, 3]."""
+                 max_steps: int = 32, lane=None, remat: bool = False):
+    """One sample for a slice of pixel lanes -> radiance [n_lanes, 3].
+
+    Pass remat=True when differentiating (per-step rematerialization keeps
+    backward memory flat); forward-only rendering skips it for faster
+    compiles.
+    """
     from ..scene.scene import build_fat_tables
 
     if "face_fat" not in scene:
@@ -446,7 +451,8 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
         return state, None
 
     state, _ = lax.scan(
-        jax.checkpoint(body), state, jnp.arange(max_steps), unroll=1)
+        jax.checkpoint(body) if remat else body, state,
+        jnp.arange(max_steps), unroll=1)
     return jnp.where(jnp.isfinite(state.contribution),
                      state.contribution, 0.0)
 

@@ -1,0 +1,97 @@
+"""Progressive renderer: accumulation, edits, checkpoint/resume, textures."""
+import numpy as np
+
+from pbrlab_tpu.render.progressive import ProgressiveRenderer
+from pbrlab_tpu.scene.demo import build_demo_scene
+from pbrlab_tpu.scene.scene import SceneBuilder, commit, scene_to_device
+from pbrlab_tpu.scene.demo import quad_mesh
+
+W = H = 16
+
+
+def _renderer():
+    scene_np, builder = build_demo_scene(subdiv=1, lambert_only=True)
+    return ProgressiveRenderer(scene_to_device(scene_np), W, H,
+                               material_names=builder.materials.names,
+                               max_steps=6)
+
+
+def test_progressive_accumulation_matches_passes():
+    r = _renderer()
+    imgs = [np.asarray(r.step()) for _ in range(3)]
+    assert r.num_passes == 3
+    # running average equals mean of the individual passes by construction;
+    # sanity: later averages are not identical to the first pass
+    assert not np.array_equal(imgs[0], imgs[2])
+    assert np.isfinite(imgs[2]).all()
+
+
+def test_edit_resets_and_changes_image():
+    r = _renderer()
+    before = np.asarray(r.render_until(2)).copy()
+    r.queue_edit("Wall_White", "base_color", (0.1, 0.9, 0.1))
+    after1 = np.asarray(r.step())
+    assert r.num_passes == 1  # edit triggered rerender
+    assert not np.allclose(before, after1)
+
+
+def test_cancel_callback():
+    r = _renderer()
+    calls = []
+
+    def cancel():
+        calls.append(1)
+        return len(calls) > 2
+
+    r.render_until(100, cancel=cancel)
+    assert r.num_passes == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    r = _renderer()
+    r.render_until(2)
+    path = str(tmp_path / "ckpt.npz")
+    r.save_checkpoint(path)
+    r2 = _renderer()
+    r2.load_checkpoint(path)
+    assert r2.num_passes == 2
+    np.testing.assert_array_equal(r2.accum, r.accum)
+    # resume continues deterministically: both renderers render pass 2 next
+    a = np.asarray(r.step())
+    b = np.asarray(r2.step())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_texture_fetch_path():
+    """A textured floor must show the texture's colors (config 5 slice)."""
+    b = SceneBuilder()
+    # 2x2 checker: red / blue
+    tex = np.zeros((2, 2, 3), np.float32)
+    tex[0, 0] = tex[1, 1] = (1.0, 0.0, 0.0)
+    tex[0, 1] = tex[1, 0] = (0.0, 0.0, 1.0)
+    tid = b.add_texture(tex, "checker")
+    m = b.materials.add_principled("floor", specular=0.0,
+                                   base_color_tex_id=tid)
+    light_m = b.materials.add_principled("light", base_color=(0, 0, 0),
+                                         specular=0.0)
+    floor = quad_mesh([-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1], m,
+                      "floor")
+    # give the floor texcoords spanning [0,1]^2
+    floor.texcoords = np.asarray([[0, 0], [0, 1], [1, 1], [1, 0]],
+                                 np.float32)
+    floor.texcoord_idx = floor.faces.copy()
+    lightq = quad_mesh([-0.5, 2, -0.5], [0.5, 2, -0.5], [0.5, 2, 0.5],
+                      [-0.5, 2, 0.5], light_m, "light")
+    b.add_instance([floor])
+    lid = b.add_area_light_param((6.0, 6.0, 6.0))
+    b.add_instance([lightq], light_ids=[np.full((2,), lid, np.int32)])
+    scene = scene_to_device(commit(b.build()))
+    from pbrlab_tpu.render.integrator import render
+
+    img = np.asarray(render(scene, 24, 24, 8, max_steps=4))
+    assert np.isfinite(img).all()
+    # both red-ish and blue-ish floor regions must appear
+    flat = img.reshape(-1, 3)
+    lit = flat[flat.sum(1) > 0.01]
+    assert (lit[:, 0] > 2 * lit[:, 2]).any(), "no red texel visible"
+    assert (lit[:, 2] > 2 * lit[:, 0]).any(), "no blue texel visible"
