@@ -69,6 +69,64 @@ class PathState(NamedTuple):
     sss_sigma_s: jnp.ndarray  # [N,3]
     sss_tp: jnp.ndarray  # [N,3] walk throughput
     sss_instance: jnp.ndarray  # [N] entry instance id
+    lane: jnp.ndarray  # [N] original lane slot (for image assembly)
+
+
+def compact_state(state: PathState, aabb_min, aabb_max) -> PathState:
+    """Sort lanes by (dead, mode, position cell, direction octant).
+
+    The reference has no analogue (its threads pull whole tiles); this is
+    the wavefront "ray compaction" of SURVEY.md §7: dead lanes pack into
+    all-dead 128-lane groups the trace kernels skip entirely, and alive
+    lanes group by coarse position+direction so cluster culling actually
+    culls. Per-lane RNG streams make the image bit-identical under any
+    permutation; the state rides through ONE fat-row gather.
+    """
+    d = state.direction
+    octant = ((d[..., 0] > 0).astype(jnp.int32) * 4
+              + (d[..., 1] > 0).astype(jnp.int32) * 2
+              + (d[..., 2] > 0).astype(jnp.int32))
+    ext = jnp.maximum(aabb_max - aabb_min, 1e-6)
+    cell_f = jnp.clip((state.org - aabb_min) / ext * 4.0, 0.0, 3.999)
+    cell = (cell_f[..., 0].astype(jnp.int32) * 16
+            + cell_f[..., 1].astype(jnp.int32) * 4
+            + cell_f[..., 2].astype(jnp.int32))
+    key = (jnp.where(state.alive, 0, 1 << 12)
+           + state.mode * (1 << 9) + cell * 8 + octant)
+    perm = jnp.argsort(key)
+
+    # pack -> one gather -> unpack (thin per-field gathers cost ~15x more)
+    from jax import lax
+
+    f32 = jnp.float32
+    cols = [
+        state.org, state.direction, state.min_t[:, None],
+        state.throughput, state.contribution, state.bsdf_pdf[:, None],
+        lax.bitcast_convert_type(state.rng, f32)[:, None],
+        state.alive.astype(f32)[:, None], state.first.astype(f32)[:, None],
+        state.mode.astype(f32)[:, None],
+        state.vol_first.astype(f32)[:, None],
+        state.sss_sigma_t, state.sss_sigma_s, state.sss_tp,
+        state.sss_instance.astype(f32)[:, None],
+        state.lane.astype(f32)[:, None],
+    ]
+    packed = jnp.concatenate(cols, axis=1)[perm]
+    i = [0]
+
+    def take(w):
+        c = packed[:, i[0]:i[0] + w]
+        i[0] += w
+        return c if w > 1 else c[:, 0]
+
+    return PathState(
+        org=take(3), direction=take(3), min_t=take(1),
+        throughput=take(3), contribution=take(3), bsdf_pdf=take(1),
+        rng=lax.bitcast_convert_type(take(1), jnp.uint32),
+        alive=take(1) > 0.5, first=take(1) > 0.5,
+        mode=take(1).astype(jnp.int32), vol_first=take(1) > 0.5,
+        sss_sigma_t=take(3), sss_sigma_s=take(3), sss_tp=take(3),
+        sss_instance=take(1).astype(jnp.int32),
+        lane=take(1).astype(jnp.int32))
 
 
 def _classify(direction, ng, ns):
@@ -408,6 +466,7 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
                          jnp.where(volume_mode[..., None], sss_tp,
                                    state.sss_tp)),
         sss_instance=jnp.where(entry_ok, hit_instance, state.sss_instance),
+        lane=state.lane,
     )
 
 
@@ -429,32 +488,47 @@ def init_state(scene, width: int, height: int, sample_id, seed,
         sss_sigma_t=jnp.ones((n, 3), jnp.float32),
         sss_sigma_s=jnp.ones((n, 3), jnp.float32),
         sss_tp=jnp.ones((n, 3), jnp.float32),
-        sss_instance=jnp.full((n,), -1, jnp.int32))
+        sss_instance=jnp.full((n,), -1, jnp.int32),
+        lane=jnp.arange(n, dtype=jnp.int32))
 
 
 def render_lanes(scene, width: int, height: int, sample_id, seed=0,
-                 max_steps: int = 32, lane=None, remat: bool = False):
+                 max_steps: int = 32, lane=None, remat: bool = False,
+                 sort_every: int = 2):
     """One sample for a slice of pixel lanes -> radiance [n_lanes, 3].
 
     Pass remat=True when differentiating (per-step rematerialization keeps
     backward memory flat); forward-only rendering skips it for faster
-    compiles.
+    compiles. sort_every > 0 compacts/sorts lanes every that many steps
+    (bit-identical output; see compact_state).
     """
     from ..scene.scene import build_fat_tables
 
     if "face_fat" not in scene:
         scene = build_fat_tables(scene)
     state = init_state(scene, width, height, sample_id, seed, lane)
+    n = state.org.shape[0]
 
     def body(state, depth):
         state = wavefront_step(scene, state, depth)
+        if sort_every:
+            state = lax.cond(
+                (depth + 1) % sort_every == 0,
+                lambda st: compact_state(st, scene["aabb_min"],
+                                         scene["aabb_max"]),
+                lambda st: st, state)
         return state, None
 
     state, _ = lax.scan(
         jax.checkpoint(body) if remat else body, state,
         jnp.arange(max_steps), unroll=1)
-    return jnp.where(jnp.isfinite(state.contribution),
-                     state.contribution, 0.0)
+    contribution = jnp.where(jnp.isfinite(state.contribution),
+                             state.contribution, 0.0)
+    if sort_every:
+        # scatter back to original lane order
+        contribution = jnp.zeros((n, 3), jnp.float32).at[state.lane].set(
+            contribution)
+    return contribution
 
 
 def render_sample(scene, width: int, height: int, sample_id, seed=0,

@@ -99,3 +99,17 @@ def test_light_emission_gradient_matches_fd(small_scene):
     fd = (loss(jnp.float32(1.0 + eps)) - loss(jnp.float32(1.0 - eps))) / (
         2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-2)
+
+
+def test_compaction_is_bit_identical(small_scene):
+    """Lane sorting must not change the image (per-lane RNG invariance)."""
+    from pbrlab_tpu.render.integrator import render_lanes
+    from pbrlab_tpu.scene.scene import build_fat_tables
+
+    _, scene_dev = small_scene
+    scene_fat = build_fat_tables(scene_dev)
+    a = np.asarray(render_lanes(scene_fat, W, H, jnp.uint32(0), max_steps=8,
+                                sort_every=0))
+    b = np.asarray(render_lanes(scene_fat, W, H, jnp.uint32(0), max_steps=8,
+                                sort_every=1))
+    np.testing.assert_array_equal(a, b)
