@@ -54,10 +54,12 @@ def _trace_kernel(ray_ref, tri_ref, aabb_ref, out_ref, *, n_clusters,
         inv_y = 1.0 / jnp.where(jnp.abs(o1[4]) < 1e-12, 1e-12, o1[4])
         inv_z = 1.0 / jnp.where(jnp.abs(o1[5]) < 1e-12, 1e-12, o1[5])
 
-        best_t = jnp.full(B, INF, jnp.float32)
+        # fold max_t into the initial best (saves a compare per tri-step);
+        # found-ness is tracked through best_p (-1 = none)
+        best_t = maxt
         best_u = jnp.zeros(B, jnp.float32)
         best_v = jnp.zeros(B, jnp.float32)
-        best_p = jnp.zeros(B, jnp.float32)
+        best_p = jnp.full(B, -1.0, jnp.float32)
 
         def cluster_body(c, carry):
             best_t, best_u, best_v, best_p = carry
@@ -103,8 +105,7 @@ def _trace_kernel(ray_ref, tri_ref, aabb_ref, out_ref, *, n_clusters,
                     v = (ox * b2x + oy * b2y + oz * b2z) - c2 \
                         + t * (dx * b2x + dy * b2y + dz * b2z)
                     hit = ((jnp.abs(den) > 1e-12) & (u >= 0.0) & (v >= 0.0)
-                           & (u + v <= 1.0) & (t >= mint) & (t <= maxt)
-                           & (t < best_t))
+                           & (u + v <= 1.0) & (t >= mint) & (t < best_t))
                     tid = iota_sub + jnp.float32(1.0) * base
                     best_u = jnp.where(hit, u, best_u)
                     best_v = jnp.where(hit, v, best_v)
@@ -112,17 +113,23 @@ def _trace_kernel(ray_ref, tri_ref, aabb_ref, out_ref, *, n_clusters,
                     best_t = jnp.where(hit, t, best_t)
                 return best_t, best_u, best_v, best_p
 
-            return jax.lax.cond(jnp.any(box_hit), tri_test,
+            do_cluster = jnp.any(box_hit)
+            if any_hit:
+                # shadow rays: stop testing once every LANE found a hit
+                # (per-lane found = OR over the 8 tri slots)
+                lane_found = jnp.any(best_p >= 0.0, axis=0, keepdims=True)
+                do_cluster = do_cluster & ~jnp.all(lane_found)
+            return jax.lax.cond(do_cluster, tri_test,
                                 lambda carry_: carry_,
                                 (best_t, best_u, best_v, best_p))
 
         best_t, best_u, best_v, best_p = jax.lax.fori_loop(
             0, n_clusters, cluster_body, (best_t, best_u, best_v, best_p))
 
-        # cross-sublane argmin once per group
+        # cross-sublane argmin once per group; found-ness via best_p >= 0
         tmin = jnp.min(best_t, axis=0, keepdims=True)  # [1,128]
-        found = tmin < INF
-        is_min = best_t == tmin
+        is_min = (best_t == tmin) & (best_p >= 0.0)
+        found = jnp.any(is_min, axis=0, keepdims=True)
         first = jnp.min(jnp.where(is_min, iota_sub, 1e9), axis=0,
                         keepdims=True)
         sel = is_min & (iota_sub == first)
