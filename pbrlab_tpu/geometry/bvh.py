@@ -47,9 +47,22 @@ class BVH:
 
 
 def build_bvh(prim_bmin: np.ndarray, prim_bmax: np.ndarray,
-              leaf_size: int = LEAF_SIZE) -> BVH:
-    """Build from per-primitive AABBs [P, 3] (works for tris and curves)."""
+              leaf_size: int = LEAF_SIZE, use_native: bool = True) -> BVH:
+    """Build from per-primitive AABBs [P, 3] (works for tris and curves).
+
+    Large builds route through the native C++ builder
+    (pbrlab_tpu.geometry.native, native/builder.cpp) when it compiles;
+    this numpy implementation is the reference and the fallback.
+    """
     P = prim_bmin.shape[0]
+    if use_native and P >= 4096:
+        from .native import build_bvh_native
+
+        built = build_bvh_native(np.asarray(prim_bmin, np.float32),
+                                 np.asarray(prim_bmax, np.float32),
+                                 leaf_size)
+        if built is not None:
+            return built
     if P == 0:
         return BVH(
             aabb_min=np.zeros((1, 3), np.float32),

@@ -248,6 +248,37 @@ def _occluded_tri(scene, org, direction, min_t, max_t):
     return occluded_bvh(scene, org, direction, min_t, max_t)
 
 
+def _closest_curve(scene, org, direction, min_t, max_t):
+    """Hair closest hit: dense kernel on TPU, BVH walk on CPU. Returns the
+    curve_trace dict (t, u, v, seg, tangent)."""
+    from .curves import curve_trace
+
+    if not _use_dense(scene):
+        return curve_trace(scene, org, direction, min_t, max_t)
+    from .pallas.dense_curve import dense_curve_trace
+
+    res = dense_curve_trace(scene["dense_segs"], scene["dense_seg_aabb"],
+                            org, direction, min_t, max_t)
+    sub = res["sub"]
+    fat = scene["curve_sub_fat"][jnp.maximum(sub, 0)]
+    return {"t": res["t"], "u": res["u"], "v": res["v"],
+            "seg": jnp.where(sub >= 0, fat[:, 3].astype(jnp.int32), -1),
+            "tangent": fat[:, 0:3]}
+
+
+def _occluded_curve(scene, org, direction, min_t, max_t):
+    from .curves import curve_trace
+
+    if not _use_dense(scene):
+        return curve_trace(scene, org, direction, min_t, max_t,
+                           any_hit=True)["seg"] >= 0
+    from .pallas.dense_curve import dense_curve_trace
+
+    res = dense_curve_trace(scene["dense_segs"], scene["dense_seg_aabb"],
+                            org, direction, min_t, max_t, any_hit=True)
+    return res["sub"] >= 0
+
+
 def trace_scene(scene, org, direction, min_t, max_t):
     """Closest hit over triangles AND hair curves (rtcIntersect1 equivalent
     over the two-geometry global scene, raytracer_impl.cc:268-278).
@@ -255,15 +286,13 @@ def trace_scene(scene, org, direction, min_t, max_t):
     Returns dict(t, u, v, prim, seg, is_curve, tangent): prim is the
     triangle id (-1 otherwise), seg the curve segment id (-1 otherwise).
     """
-    from .curves import curve_trace
-
     tri = _closest_tri(scene, org, direction, min_t, max_t)
     n = org.shape[0]
     if not has_curves(scene):
         return {**tri, "seg": jnp.full((n,), -1, jnp.int32),
                 "is_curve": jnp.zeros((n,), bool),
                 "tangent": jnp.zeros((n, 3), jnp.float32)}
-    cur = curve_trace(scene, org, direction, min_t, max_t)
+    cur = _closest_curve(scene, org, direction, min_t, max_t)
     curve_closer = (cur["seg"] >= 0) & (cur["t"] < tri["t"])
     return {
         "t": jnp.where(curve_closer, cur["t"], tri["t"]),
@@ -278,10 +307,7 @@ def trace_scene(scene, org, direction, min_t, max_t):
 
 def occluded_scene(scene, org, direction, min_t, max_t):
     """Shadow any-hit over triangles AND curves (rtcOccluded1 equivalent)."""
-    from .curves import curve_trace
-
     occ = _occluded_tri(scene, org, direction, min_t, max_t)
     if has_curves(scene):
-        cur = curve_trace(scene, org, direction, min_t, max_t, any_hit=True)
-        occ = occ | (cur["seg"] >= 0)
+        occ = occ | _occluded_curve(scene, org, direction, min_t, max_t)
     return occ

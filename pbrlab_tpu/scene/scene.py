@@ -299,9 +299,26 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     scene["bvh_prim_offset"] = bvh.prim_offset
     scene["bvh_prim_ids"] = bvh.prim_ids
 
-    # hair: flatten Bezier segments into linear sub-segments + their own BVH
+    # hair: flatten Bezier segments into linear sub-segments; Morton-order
+    # them for the dense kernel (both backends share the sorted order)
+    from ..ops.pallas.dense_curve import pack_segments
+
     flat = flatten_curves(scene["curve_pts"])
+    packed_segs, seg_aabb, seg_order = pack_segments(flat)
+    if seg_order.size:
+        for key in ("curve_p0", "curve_p1", "curve_r0", "curve_r1",
+                    "curve_seg", "curve_u0", "curve_u1"):
+            flat[key] = flat[key][seg_order]
     scene.update(flat)
+    scene["dense_segs"] = packed_segs
+    scene["dense_seg_aabb"] = seg_aabb
+    # per-sub-segment fat row: tangent (unit e) + source segment id
+    e = flat["curve_p1"] - flat["curve_p0"]
+    elen = np.maximum(np.linalg.norm(e, axis=-1, keepdims=True), 1e-20)
+    scene["curve_sub_fat"] = np.concatenate(
+        [e / elen, flat["curve_seg"][:, None].astype(np.float32)],
+        axis=1).astype(np.float32) if seg_order.size else np.zeros(
+        (0, 4), np.float32)
     cmin, cmax = subsegment_bounds(flat)
     cbvh = build_bvh(cmin, cmax)
     scene["cbvh_min"] = cbvh.aabb_min

@@ -77,3 +77,40 @@ def test_dense_v2_matches_bruteforce(demo_scene, rng_np):
                                atol=1e-4)
     same = np.asarray(ref["prim"]) == np.asarray(got["prim"])
     assert same[hit_ref].mean() > 0.99
+
+
+def test_dense_curve_matches_bvh(rng_np):
+    """Dense hair kernel vs the BVH ribbon walk on a hair tuft."""
+    from pbrlab_tpu.io.cyhair import make_demo_hair
+    from pbrlab_tpu.ops.curves import curve_trace
+    from pbrlab_tpu.ops.pallas.dense_curve import dense_curve_trace
+    from pbrlab_tpu.scene.scene import SceneBuilder, commit, scene_to_device
+
+    b = SceneBuilder()
+    hair = make_demo_hair(num_strands=24, base=(0.0, 1.0, 0.0))
+    hair.material_id = b.materials.add_hair("hair")
+    b.add_instance([], curves=[hair])
+    scene = scene_to_device(commit(b.build()))
+
+    n = 512
+    org = jnp.asarray(rng_np.normal(0, 1, (n, 3)) + [0, 1, 0], jnp.float32)
+    d = rng_np.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    mn = jnp.zeros((n,))
+    mx = jnp.full((n,), INF)
+    ref = curve_trace(scene, org, d, mn, mx)
+    got = dense_curve_trace(scene["dense_segs"], scene["dense_seg_aabb"],
+                            org, d, mn, mx, interpret=True)
+    hit_ref = np.asarray(ref["seg"]) >= 0
+    hit_got = np.asarray(got["sub"]) >= 0
+    assert (hit_ref == hit_got).mean() > 0.98  # ribbon edge cases may differ
+    both = hit_ref & hit_got
+    np.testing.assert_allclose(np.asarray(got["t"])[both],
+                               np.asarray(ref["t"])[both], rtol=1e-2,
+                               atol=1e-3)
+    # signed offsets agree in sign and magnitude for matching hits
+    same_sub = both & (np.abs(np.asarray(got["t"]) - np.asarray(ref["t"]))
+                       < 1e-4)
+    np.testing.assert_allclose(np.asarray(got["v"])[same_sub],
+                               np.asarray(ref["v"])[same_sub], atol=5e-2)
