@@ -143,8 +143,10 @@ def _trace_kernel(ray_ref, seg_ref, aabb_ref, out_ref, *, n_clusters,
             tfar = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                            jnp.maximum(ty0, ty1)),
                                jnp.maximum(tz0, tz1))
+            # cull against the per-lane running best, not just maxt
+            lane_best = jnp.min(best_t, axis=0, keepdims=True)  # [1,128]
             box_hit = ((tnear <= tfar * 1.00000024) & (tfar >= o1[6])
-                       & (tnear <= o1[7]))
+                       & (tnear <= lane_best))
 
             def seg_test(carry):
                 best_t, best_u, best_v, best_p = carry
