@@ -10,7 +10,6 @@ hardware behavior, so it is measured with a small jitted probe on the CPU
 backend (fast compiles) and applied to the TPU wall time:
     rays = width * height * spp * sum_steps(alive_frac) * 2.
 """
-import functools
 import json
 import os
 import sys
@@ -19,36 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-
-
-def measure_occupancy(scene_np, max_steps, probe=128):
-    """Mean alive-lane fraction per wavefront step (CPU, small grid)."""
-    from pbrlab_tpu.render.integrator import init_state, wavefront_step
-    from pbrlab_tpu.scene.scene import build_fat_tables, scene_to_device
-
-    cpu = jax.local_devices(backend="cpu")[0]
-    os.environ["PBRLAB_TRACE_BACKEND"] = "bvh"  # pallas kernels are TPU-only
-    with jax.default_device(cpu):
-        scene = build_fat_tables(scene_to_device(scene_np))
-
-        @jax.jit
-        def run(scene):
-            lane = jnp.arange(probe * probe, dtype=jnp.int32)
-            state = init_state(scene, probe, probe, jnp.uint32(0), 0, lane)
-
-            def body(state, _):
-                alive = jnp.mean(state.alive.astype(jnp.float32))
-                state = wavefront_step(scene, state, 0)
-                return state, alive
-
-            _, fracs = jax.lax.scan(body, state, None, length=max_steps)
-            return fracs
-
-        fracs = float(jnp.sum(run(scene)))
-    del os.environ["PBRLAB_TRACE_BACKEND"]
-    return fracs
 
 
 def main():
@@ -59,6 +29,7 @@ def main():
     from pbrlab_tpu.render.integrator import render
     from pbrlab_tpu.scene.demo import build_demo_scene
     from pbrlab_tpu.scene.scene import scene_to_device
+    from pbrlab_tpu.utils.profiling import measure_occupancy
 
     scene_np, _ = build_demo_scene(subdiv=3)
     alive_steps = measure_occupancy(scene_np, max_steps)

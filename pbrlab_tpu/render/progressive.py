@@ -100,6 +100,11 @@ class ProgressiveRenderer:
         self.pass_times.append(time.time() - t0)
         self.accum += img
         self.num_passes += 1
+        from ..utils import log as plog
+
+        plog.event(plog.get_logger("progressive"), "finish pass",
+                   pass_id=self.num_passes,
+                   seconds=round(self.pass_times[-1], 4))
         return self.average()
 
     def render_until(self, max_pass: int,

@@ -1,0 +1,127 @@
+"""Profiling & observability: rays/s counters + JAX profiler traces.
+
+The reference's only progress/perf signal is a `printf("finish pass ...")`
+(/root/reference/src/render.cc:229) and the GUI progress bar
+(pc/glfw-window.cc:630-635); SURVEY.md §5 calls for profiler traces and
+per-kernel rays/s counters in the TPU build. This module provides:
+
+* `measure_occupancy(scene_np, max_steps)` — mean alive-lane fraction per
+  wavefront step, computed with a small jitted probe on the CPU backend
+  (occupancy is algorithm behavior, not hardware behavior, so a cheap
+  backend is fine). `sum(fracs)` converts wall time into honest ray counts:
+  rays = W*H*spp * sum_steps(alive_frac) * 2 (closest-hit + shadow).
+* `RaysMeter` — accumulates (rays, seconds) across timed render calls and
+  reports Mrays/s.
+* `trace(logdir)` — context manager around `jax.profiler.trace` for
+  XPlane/perfetto traces of the wavefront pipeline.
+* `step_occupancy(scene, ...)` — per-step alive fractions as a device
+  array, for regression tests on compaction/occupancy behavior.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+from typing import List
+
+
+def step_occupancy(scene, width: int, height: int, max_steps: int,
+                   sample_id=0, seed: int = 0):
+    """Alive-lane fraction before each wavefront step -> [max_steps] array.
+
+    Runs on whatever backend `scene` lives on; jit-compiled.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..render.integrator import init_state, wavefront_step
+    from ..scene.scene import build_fat_tables
+
+    if "face_fat" not in scene:
+        scene = build_fat_tables(scene)
+
+    @jax.jit
+    def run(scene):
+        lane = jnp.arange(width * height, dtype=jnp.int32)
+        state = init_state(scene, width, height, jnp.uint32(sample_id),
+                           seed, lane)
+
+        def body(state, _):
+            alive = jnp.mean(state.alive.astype(jnp.float32))
+            state = wavefront_step(scene, state, 0)
+            return state, alive
+
+        _, fracs = jax.lax.scan(body, state, None, length=max_steps)
+        return fracs
+
+    return run(scene)
+
+
+def measure_occupancy(scene_np, max_steps: int, probe: int = 128) -> float:
+    """Sum over steps of the mean alive fraction (CPU probe backend)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..scene.scene import build_fat_tables, scene_to_device
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    prev = os.environ.get("PBRLAB_TRACE_BACKEND")
+    os.environ["PBRLAB_TRACE_BACKEND"] = "bvh"  # pallas kernels are TPU-only
+    try:
+        with jax.default_device(cpu):
+            scene = build_fat_tables(scene_to_device(scene_np))
+            fracs = step_occupancy(scene, probe, probe, max_steps)
+            return float(jnp.sum(fracs))
+    finally:
+        if prev is None:
+            del os.environ["PBRLAB_TRACE_BACKEND"]
+        else:
+            os.environ["PBRLAB_TRACE_BACKEND"] = prev
+
+
+@dataclass
+class RaysMeter:
+    """Accumulates timed render work and reports throughput.
+
+    rays per sample-pass = n_pixels * occupancy_steps * 2
+    (one closest-hit + one any-hit trace per alive lane per step).
+    """
+
+    n_pixels: int
+    occupancy_steps: float
+    rays: float = 0.0
+    seconds: float = 0.0
+    laps: List[float] = field(default_factory=list)
+
+    @contextlib.contextmanager
+    def lap(self, spp: int = 1):
+        """Time a block that renders `spp` sample passes."""
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        self.laps.append(dt)
+        self.seconds += dt
+        self.rays += self.n_pixels * spp * self.occupancy_steps * 2.0
+
+    @property
+    def mrays_per_s(self) -> float:
+        return self.rays / max(self.seconds, 1e-12) / 1e6
+
+    def report(self) -> dict:
+        return {
+            "rays": self.rays,
+            "seconds": round(self.seconds, 4),
+            "mrays_per_s": round(self.mrays_per_s, 3),
+            "laps": len(self.laps),
+        }
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """JAX profiler trace (view with tensorboard / perfetto)."""
+    import jax
+
+    with jax.profiler.trace(logdir):
+        yield
