@@ -52,6 +52,9 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--max-steps", type=int, default=32)
+    ap.add_argument("--k-volume", type=int, default=-1,
+                    help="volume-only substeps per wavefront step for SSS "
+                         "walks (-1 = auto: 3 when the scene has SSS)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="rgba.png")
     args = ap.parse_args(argv)
@@ -59,7 +62,7 @@ def main(argv=None):
     import jax
 
     from ..render.film import save_png
-    from ..render.integrator import render
+    from ..render.integrator import render, scene_has_sss
     from ..scene.scene import scene_to_device
 
     if args.scenes == ["demo"]:
@@ -87,11 +90,14 @@ def main(argv=None):
             scene_np = build_scene_from_files(args.scenes)
     print(f"scene: {scene_np['tri_v0'].shape[0]} triangles, "
           f"{scene_np['curve_pts'].shape[0]} curve segments", file=sys.stderr)
+    k_volume = args.k_volume
+    if k_volume < 0:
+        k_volume = 3 if scene_has_sss(scene_np) else 0
     scene = scene_to_device(scene_np)
 
     t0 = time.time()
     img = render(scene, args.width, args.height, args.spp, seed=args.seed,
-                 max_steps=args.max_steps)
+                 max_steps=args.max_steps, k_volume=k_volume)
     jax.block_until_ready(img)
     dt = time.time() - t0
     print(f"rendered {args.width}x{args.height}@{args.spp}spp in {dt:.2f}s",

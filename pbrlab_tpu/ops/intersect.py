@@ -213,22 +213,34 @@ def has_curves(scene) -> bool:
     return int(scene["curve_pts"].shape[0]) > 0
 
 
-def _use_dense(scene) -> bool:
-    """Static backend choice: the gather-free dense Pallas kernel on TPU,
-    the threaded BVH on CPU (XLA:CPU gathers are fast; Pallas interpret is
-    not). Override with PBRLAB_TRACE_BACKEND=dense|bvh."""
+def _tri_backend(scene) -> str:
+    """Static backend choice: the gather-free dense Pallas kernels on TPU
+    ("dense3" survivor-list kernel by default), the threaded BVH on CPU
+    (XLA:CPU gathers are fast; Pallas interpret is not). Override with
+    PBRLAB_TRACE_BACKEND=dense3|dense|bvh."""
     import os
 
     mode = os.environ.get("PBRLAB_TRACE_BACKEND", "auto")
-    if mode == "dense":
-        return True
-    if mode == "bvh":
-        return False
-    return "dense_tris" in scene and jax.default_backend() != "cpu"
+    if mode in ("dense", "dense2", "dense3", "bvh"):
+        return "dense" if mode == "dense2" else mode
+    if "dense_tris" in scene and jax.default_backend() != "cpu":
+        return "dense3"
+    return "bvh"
+
+
+def _use_dense(scene) -> bool:
+    return _tri_backend(scene) != "bvh"
 
 
 def _closest_tri(scene, org, direction, min_t, max_t):
-    if _use_dense(scene):
+    backend = _tri_backend(scene)
+    if backend == "dense3":
+        from .pallas.dense_v3 import dense_trace_v3
+
+        return dense_trace_v3(scene["dense_tris"],
+                              scene["dense_cluster_aabb"],
+                              org, direction, min_t, max_t)
+    if backend == "dense":
         from .pallas.dense_v2 import dense_trace_v2
 
         return dense_trace_v2(scene["dense_tris"],
@@ -238,7 +250,15 @@ def _closest_tri(scene, org, direction, min_t, max_t):
 
 
 def _occluded_tri(scene, org, direction, min_t, max_t):
-    if _use_dense(scene):
+    backend = _tri_backend(scene)
+    if backend == "dense3":
+        from .pallas.dense_v3 import dense_trace_v3
+
+        res = dense_trace_v3(scene["dense_tris"],
+                             scene["dense_cluster_aabb"],
+                             org, direction, min_t, max_t, any_hit=True)
+        return res["prim"] >= 0
+    if backend == "dense":
         from .pallas.dense_v2 import dense_trace_v2
 
         res = dense_trace_v2(scene["dense_tris"],

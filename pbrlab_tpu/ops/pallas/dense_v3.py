@@ -15,9 +15,21 @@ when every cluster body is skipped). V3 inverts the design:
   the 16-tri-step body of V2 runs unconditionally per survivor.
 
 The group survivor union is tight only when the 128 rays agree on clusters;
-callers sort rays by cluster-hit signature (see `signature_key`, used by the
-integrator's compaction) so they do. Per-ray max_t (shadow rays) is folded
-into the XLA-side mask, so short shadow rays get small survivor lists.
+the integrator's compaction sorts lanes by (dead, mode, cell, octant) so
+they mostly do (`signature_key` is an exact alternative sort key, currently
+used only by scripts/kernel_bench.py). Per-group max_t (shadow rays) is
+folded into the culling, so short shadow rays get small survivor lists.
+
+Two cull modes build the survivor lists:
+
+* ``cull="exact"`` — per-ray [N, M] slab test reduced over each group.
+  O(N*M) XLA work; exact group unions.
+* ``cull="beam"`` (default) — ONE conservative interval-arithmetic slab
+  test per 128-ray group: the group's rays are bounded by an origin box x
+  an inverse-direction box, and the cluster test runs on those intervals.
+  O(N*M/128) work, so culling stays negligible for 100k+ triangle scenes
+  (M in the hundreds). Strictly conservative: it can only add survivors,
+  never lose one, so results are identical.
 
 Reference semantics replaced: rtcIntersect1 / rtcOccluded1
 (/root/reference/src/raytracer/raytracer_impl.cc:268-287).
@@ -41,15 +53,24 @@ RAY_TILE = 4096
 GROUPS = RAY_TILE // LANES
 
 
-def _trace_kernel(ray_ref, tri_ref, surv_ref, cnt_ref, out_ref):
+def _trace_kernel(ray_ref, tri_ref, surv_ref, cnt_ref, tnear_ref, out_ref,
+                  *, any_hit):
     """ray_ref [8, RAY_TILE] rows ox oy oz dx dy dz mint maxt
     tri_ref [Fpad, 12] row-major linear forms (dense.pack_triangles)
-    surv_ref [GROUPS, M] (SMEM) surviving cluster ids, compacted left
+    surv_ref [GROUPS, M] (SMEM) surviving cluster ids, FRONT-TO-BACK
     cnt_ref [GROUPS, 1] (SMEM) number of survivors per group
+    tnear_ref [GROUPS, M] (SMEM) beam tnear lower bound per survivor slot
     out_ref [8, RAY_TILE] rows: t, u, v, prim, hit, unused...
+
+    Early exit (the Embree-style front-to-back walk,
+    raytracer_impl.cc:268-287): survivors are sorted by their beam tnear
+    lower bound, so once every lane's running best_t <= the next
+    survivor's tnear no later cluster can produce a closer hit. For
+    any_hit, also stops once every lane found an occluder.
     """
     B = (SLOTS, LANES)
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, B, 0).astype(jnp.float32)
+    n_surv_max = surv_ref.shape[1]
 
     def group(gi):
         # STATIC lane offsets: dynamic lane-dim slices lower to very slow
@@ -66,8 +87,19 @@ def _trace_kernel(ray_ref, tri_ref, surv_ref, cnt_ref, out_ref):
         best_v = jnp.zeros(B, jnp.float32)
         best_p = jnp.full(B, -1.0, jnp.float32)
 
-        def surv_body(si, carry):
-            best_t, best_u, best_v, best_p = carry
+        def surv_cond(carry):
+            si, best_t, best_u, best_v, best_p = carry
+            live = si < cnt_ref[gi, 0]
+            # front-to-back cutoff: strict improvement needs t < best_t
+            can_improve = jnp.max(best_t) > tnear_ref[
+                gi, jnp.minimum(si, n_surv_max - 1)]
+            if any_hit:
+                all_found = jnp.all(jnp.max(best_p, axis=0) >= 0.0)
+                can_improve = can_improve & ~all_found
+            return live & can_improve
+
+        def surv_body(carry):
+            si, best_t, best_u, best_v, best_p = carry
             c = surv_ref[gi, si]
             for step in range(STEPS):
                 base = c * TRI_BLOCK + step * SLOTS
@@ -94,11 +126,11 @@ def _trace_kernel(ray_ref, tri_ref, surv_ref, cnt_ref, out_ref):
                 best_v = jnp.where(hit, v, best_v)
                 best_p = jnp.where(hit, tid, best_p)
                 best_t = jnp.where(hit, t, best_t)
-            return best_t, best_u, best_v, best_p
+            return si + 1, best_t, best_u, best_v, best_p
 
-        best_t, best_u, best_v, best_p = jax.lax.fori_loop(
-            0, cnt_ref[gi, 0], surv_body,
-            (best_t, best_u, best_v, best_p))
+        _, best_t, best_u, best_v, best_p = jax.lax.while_loop(
+            surv_cond, surv_body,
+            (jnp.int32(0), best_t, best_u, best_v, best_p))
 
         tmin = jnp.min(best_t, axis=0, keepdims=True)  # [1,128]
         is_min = (best_t == tmin) & (best_p >= 0.0)
@@ -124,7 +156,8 @@ def cluster_mask(cluster_aabb, org, direction, min_t, max_t):
     """[N, M] bool: the ray segment [min_t, max_t] can hit cluster AABB.
 
     Dense vectorized slab test (XLA fuses it into one elementwise+reduce
-    pass); rays with max_t < 0 (dead/padding) get an all-false row.
+    pass). Rays with max_t < min_t (dead/padding) get an all-false row, so
+    dead lanes never contribute survivors.
     """
     inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
     o = org
@@ -140,7 +173,71 @@ def cluster_mask(cluster_aabb, org, direction, min_t, max_t):
     tnear = jnp.maximum(jnp.maximum(n0, n1), n2)
     tfar = jnp.minimum(jnp.minimum(f0, f1), f2)
     return ((tnear <= tfar * 1.00000024) & (tfar >= min_t[:, None])
-            & (tnear <= max_t[:, None]))
+            & (tnear <= max_t[:, None]) & (max_t >= min_t)[:, None])
+
+
+_BIG = jnp.float32(1e30)
+
+
+def group_survivors_beam(cluster_aabb, org, direction, min_t, max_t,
+                         lanes=LANES, return_tnear=False):
+    """[G, M] bool: conservative "some ray in this 128-lane group can hit
+    cluster AABB" via interval arithmetic on the group's ray bounds.
+    With return_tnear, also returns the [G, M] tnear lower bound (the
+    front-to-back sort key for the kernel's early exit).
+
+    Each group is bounded by an origin box [o_lo, o_hi] and an
+    inverse-direction box [i_lo, i_hi]; the slab test is evaluated on those
+    intervals (products take the min/max over the 4 endpoint combinations).
+    For any ray r in the group, tnear(r) >= tnear_lo and tfar(r) <=
+    tfar_hi, so every per-ray pass implies a group pass: strictly
+    conservative, never drops a true survivor. Axes whose direction sign
+    flips within a group (1/d spans +-inf) are treated as unconstraining.
+
+    Cost is O(N * M / lanes) vs cluster_mask's O(N * M): the cull stays
+    negligible even at M ~ thousands of clusters (500k+ triangles).
+    """
+    n = org.shape[0]
+    g = n // lanes
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                          jnp.where(direction < 0.0, -1e-12, 1e-12),
+                          direction)
+    og = org.reshape(g, lanes, 3)
+    ig = inv.reshape(g, lanes, 3)
+    o_lo, o_hi = og.min(axis=1), og.max(axis=1)  # [G, 3]
+    i_lo, i_hi = ig.min(axis=1), ig.max(axis=1)
+    mixed = (i_lo < 0.0) & (i_hi > 0.0)  # sign flip within group
+    mn_lo = min_t.reshape(g, lanes).min(axis=1)  # [G]
+    mx_hi = max_t.reshape(g, lanes).max(axis=1)
+
+    tnear_lo = jnp.full((g, cluster_aabb.shape[1]), -_BIG)
+    tfar_hi = jnp.full((g, cluster_aabb.shape[1]), _BIG)
+    for k in range(3):
+        d_lo = (cluster_aabb[k][None, :] - o_hi[:, k:k + 1],
+                cluster_aabb[k + 3][None, :] - o_hi[:, k:k + 1])
+        d_hi = (cluster_aabb[k][None, :] - o_lo[:, k:k + 1],
+                cluster_aabb[k + 3][None, :] - o_lo[:, k:k + 1])
+        il = i_lo[:, k:k + 1]
+        ih = i_hi[:, k:k + 1]
+        lo_k = jnp.minimum(
+            jnp.minimum(jnp.minimum(d_lo[0] * il, d_lo[0] * ih),
+                        jnp.minimum(d_hi[0] * il, d_hi[0] * ih)),
+            jnp.minimum(jnp.minimum(d_lo[1] * il, d_lo[1] * ih),
+                        jnp.minimum(d_hi[1] * il, d_hi[1] * ih)))
+        hi_k = jnp.maximum(
+            jnp.maximum(jnp.maximum(d_lo[0] * il, d_lo[0] * ih),
+                        jnp.maximum(d_hi[0] * il, d_hi[0] * ih)),
+            jnp.maximum(jnp.maximum(d_lo[1] * il, d_lo[1] * ih),
+                        jnp.maximum(d_hi[1] * il, d_hi[1] * ih)))
+        free = mixed[:, k:k + 1]
+        tnear_lo = jnp.maximum(tnear_lo, jnp.where(free, -_BIG, lo_k))
+        tfar_hi = jnp.minimum(tfar_hi, jnp.where(free, _BIG, hi_k))
+    mask = ((tnear_lo <= tfar_hi * 1.00000024)
+            & (tfar_hi >= mn_lo[:, None]) & (tnear_lo <= mx_hi[:, None])
+            & (mx_hi >= mn_lo)[:, None])
+    if return_tnear:
+        return mask, tnear_lo
+    return mask
 
 
 def signature_key(cluster_aabb, org, direction, min_t, max_t):
@@ -158,13 +255,17 @@ def signature_key(cluster_aabb, org, direction, min_t, max_t):
     return key
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "interpret", "cull"))
 def dense_trace_v3(packed_tris, cluster_aabb, org, direction, min_t, max_t,
-                   any_hit=False, interpret=False):
-    """Same contract as dense.dense_trace. any_hit only affects the caller's
-    interpretation (no in-kernel early exit: the survivor lists are already
-    tight for short shadow rays via the max_t-aware mask)."""
-    del any_hit
+                   any_hit=False, interpret=False, cull="beam"):
+    """Same contract as dense.dense_trace. Survivors are sorted
+    front-to-back by beam tnear so the kernel early-exits once the running
+    best of all 128 lanes beats the next cluster (Embree-style ordered
+    traversal, raytracer_impl.cc:268-287); any_hit additionally stops when
+    every lane found an occluder. cull: "beam" (O(N*M/128) conservative
+    group test, default) or "exact" (O(N*M) per-ray mask reduced per
+    group; no tnear ordering — debug/oracle mode)."""
     n = org.shape[0]
     n_pad = (n + RAY_TILE - 1) // RAY_TILE * RAY_TILE
     pad = n_pad - n
@@ -177,11 +278,18 @@ def dense_trace_v3(packed_tris, cluster_aabb, org, direction, min_t, max_t,
     max_t = jnp.minimum(max_t, INF)
 
     # all culling happens HERE, in XLA
-    hitm = cluster_mask(cluster_aabb, org, direction, min_t, max_t)
-    gm = hitm.reshape(n_pad // LANES, LANES, -1).any(axis=1)  # [G, M]
+    if cull == "beam":
+        gm, tnear = group_survivors_beam(cluster_aabb, org, direction,
+                                         min_t, max_t, return_tnear=True)
+    else:
+        hitm = cluster_mask(cluster_aabb, org, direction, min_t, max_t)
+        gm = hitm.reshape(n_pad // LANES, LANES, -1).any(axis=1)  # [G, M]
+        tnear = jnp.full(gm.shape, -_BIG)  # no ordering info -> no early out
     cnt = gm.sum(axis=1).astype(jnp.int32)[:, None]  # [G, 1]
-    # compact surviving ids to the left (stable argsort on ~mask)
-    surv = jnp.argsort(~gm, axis=1, stable=True).astype(jnp.int32)  # [G, M]
+    # survivors to the front, ordered front-to-back by beam tnear
+    key = jnp.where(gm, tnear, _BIG)
+    surv = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)  # [G, M]
+    tnear_sorted = jnp.take_along_axis(key, surv, axis=1)
 
     rays = jnp.stack([org[:, 0], org[:, 1], org[:, 2], direction[:, 0],
                       direction[:, 1], direction[:, 2], min_t, max_t])
@@ -189,7 +297,7 @@ def dense_trace_v3(packed_tris, cluster_aabb, org, direction, min_t, max_t,
     tris_rows = packed_tris.T  # [Fpad, 12]
     M = cluster_aabb.shape[1]
     out = pl.pallas_call(
-        _trace_kernel,
+        functools.partial(_trace_kernel, any_hit=any_hit),
         grid=(n_pad // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
@@ -200,12 +308,14 @@ def dense_trace_v3(packed_tris, cluster_aabb, org, direction, min_t, max_t,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((GROUPS, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUPS, M), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         interpret=interpret,
-    )(rays, tris_rows, surv, cnt)
+    )(rays, tris_rows, surv, cnt, tnear_sorted)
     hit = out[4, :n] > 0.0
     return {
         "t": jnp.where(hit, out[0, :n], INF),

@@ -229,8 +229,20 @@ def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
     return contrib
 
 
-def wavefront_step(scene, state: PathState, depth: int) -> PathState:
-    """Advance every lane by one trace. See module docstring."""
+def wavefront_step(scene, state: PathState, depth: int,
+                   freeze_surface: bool = False) -> PathState:
+    """Advance every lane by one trace. See module docstring.
+
+    freeze_surface=True runs a VOLUME-ONLY substep: surface-mode lanes do
+    not trace, shade, or consume RNG draws — their state passes through
+    untouched — while volume-mode lanes advance one random-walk step
+    (including the diffuse re-shade + NEE on a valid exit). This gives the
+    SSS walk its own step budget on top of the shared wavefront depth,
+    mirroring the reference's dedicated <=8192-step inner loop
+    (/root/reference/src/shader/random-walk-sss.h:281) without divergent
+    control flow: render_lanes interleaves k_volume such substeps after
+    every full step.
+    """
     n = state.org.shape[0]
     surface_mode = state.mode == MODE_SURFACE
     volume_mode = state.mode == MODE_VOLUME
@@ -244,7 +256,8 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     min_t = jnp.where(need_new_dir, 0.0, state.min_t)
     t_scatter, channel_pdf = sample_scatter_distance(
         state.sss_tp, state.sss_sigma_s, state.sss_sigma_t, uc, ut)
-    max_t = jnp.where(volume_mode, t_scatter, INF)
+    max_t = jnp.where(volume_mode, t_scatter,
+                      -1.0 if freeze_surface else INF)
     max_t = jnp.where(state.alive, max_t, -1.0)  # dead lanes: no traversal
 
     # ---- one closest-hit trace for all lanes (triangles + hair) ----
@@ -288,6 +301,8 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
 
     # =========== SURFACE lanes: emission MIS + russian roulette ==========
     s_alive = alive & surface_mode
+    if freeze_surface:
+        s_alive = jnp.zeros_like(s_alive)  # surface lanes pass through
     # miss -> dead (no environment light; reference render.cc:34-37)
     pdf_area = lax.stop_gradient(frow[:, 21])
     emission = frow[:, 22:25]
@@ -454,7 +469,7 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
     new_alive = new_alive & (jnp.sum(jnp.abs(new_throughput), axis=-1)
                              > jnp.finfo(jnp.float32).eps)
 
-    return PathState(
+    new_state = PathState(
         org=new_org, direction=new_direction, min_t=new_min_t,
         throughput=new_throughput, contribution=contribution,
         bsdf_pdf=new_bsdf_pdf, rng=rng_state, alive=new_alive,
@@ -468,6 +483,17 @@ def wavefront_step(scene, state: PathState, depth: int) -> PathState:
         sss_instance=jnp.where(entry_ok, hit_instance, state.sss_instance),
         lane=state.lane,
     )
+    if freeze_surface:
+        # surface lanes (incl. their RNG stream) pass through untouched;
+        # lanes that exited volume mode THIS substep were volume lanes at
+        # entry, so they keep their new (surface-mode) state.
+        def _restore(old, new):
+            m = surface_mode.reshape(surface_mode.shape
+                                     + (1,) * (new.ndim - 1))
+            return jnp.where(m, old, new)
+
+        new_state = jax.tree_util.tree_map(_restore, state, new_state)
+    return new_state
 
 
 def init_state(scene, width: int, height: int, sample_id, seed,
@@ -494,13 +520,17 @@ def init_state(scene, width: int, height: int, sample_id, seed,
 
 def render_lanes(scene, width: int, height: int, sample_id, seed=0,
                  max_steps: int = 32, lane=None, remat: bool = False,
-                 sort_every: int = 2):
+                 sort_every: int = 2, k_volume: int = 0):
     """One sample for a slice of pixel lanes -> radiance [n_lanes, 3].
 
     Pass remat=True when differentiating (per-step rematerialization keeps
     backward memory flat); forward-only rendering skips it for faster
     compiles. sort_every > 0 compacts/sorts lanes every that many steps
-    (bit-identical output; see compact_state).
+    (bit-identical output; see compact_state). k_volume > 0 runs that many
+    volume-only substeps after each full step, giving SSS walks a
+    (1 + k_volume) * max_steps budget like the reference's dedicated inner
+    loop (random-walk-sss.h:281); the substeps are skipped at runtime via
+    lax.cond when no lane is in volume mode.
     """
     from ..scene.scene import build_fat_tables
 
@@ -511,6 +541,15 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
 
     def body(state, depth):
         state = wavefront_step(scene, state, depth)
+        if k_volume:
+            def vol_substeps(st):
+                for _ in range(k_volume):
+                    st = wavefront_step(scene, st, depth,
+                                        freeze_surface=True)
+                return st
+
+            any_vol = jnp.any(state.alive & (state.mode == MODE_VOLUME))
+            state = lax.cond(any_vol, vol_substeps, lambda st: st, state)
         if sort_every:
             state = lax.cond(
                 (depth + 1) % sort_every == 0,
@@ -531,24 +570,35 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
     return contribution
 
 
+def scene_has_sss(scene) -> bool:
+    """Host-side static check: any material with subsurface weight > 0
+    (used to enable k_volume substeps only where they can matter)."""
+    import numpy as np
+
+    sub = scene.get("materials", {}).get("subsurface")
+    return sub is not None and bool((np.asarray(sub) > 0.0).any())
+
+
 def render_sample(scene, width: int, height: int, sample_id, seed=0,
-                  max_steps: int = 32):
+                  max_steps: int = 32, k_volume: int = 0):
     """One sample per pixel -> radiance [H, W, 3] (linear)."""
     contribution = render_lanes(scene, width, height, sample_id, seed,
-                                max_steps)
+                                max_steps, k_volume=k_volume)
     return contribution.reshape(height, width, 3)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "max_steps"))
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_steps",
+                                   "k_volume"))
 def render(scene, width: int, height: int, spp: int, seed=0,
-           max_steps: int = 32):
+           max_steps: int = 32, k_volume: int = 0):
     """Progressive accumulation of spp samples -> mean radiance [H, W, 3].
 
     The reference accumulates rgba/count per pass (render-layer.h:11-26);
     here each pass is an independent wavefront launch folded in a scan.
     """
     def body(acc, sample_id):
-        img = render_sample(scene, width, height, sample_id, seed, max_steps)
+        img = render_sample(scene, width, height, sample_id, seed, max_steps,
+                            k_volume)
         return acc + img, None
 
     acc, _ = lax.scan(body, jnp.zeros((height, width, 3), jnp.float32),

@@ -79,6 +79,82 @@ def test_dense_v2_matches_bruteforce(demo_scene, rng_np):
     assert same[hit_ref].mean() > 0.99
 
 
+def test_dense_v3_matches_bruteforce(demo_scene, rng_np):
+    """Survivor-list kernel, both cull modes, vs the brute-force oracle."""
+    from pbrlab_tpu.ops.pallas.dense_v3 import dense_trace_v3
+
+    org, d, mn, mx = _rays(demo_scene, 512, rng_np)
+    ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
+    hit_ref = np.asarray(ref["prim"]) >= 0
+    for cull in ("beam", "exact"):
+        got = dense_trace_v3(demo_scene["dense_tris"],
+                             demo_scene["dense_cluster_aabb"], org, d, mn,
+                             mx, interpret=True, cull=cull)
+        np.testing.assert_array_equal(hit_ref, np.asarray(got["prim"]) >= 0,
+                                      err_msg=cull)
+        np.testing.assert_allclose(np.asarray(got["t"])[hit_ref],
+                                   np.asarray(ref["t"])[hit_ref], rtol=1e-3,
+                                   atol=1e-4, err_msg=cull)
+        same = np.asarray(ref["prim"]) == np.asarray(got["prim"])
+        assert same[hit_ref].mean() > 0.99, cull
+
+
+def test_dense_v3_respects_max_t_and_dead_lanes(demo_scene, rng_np):
+    """Per-lane max_t clips hits; dead lanes (max_t < 0) never hit, even
+    when padded into partially-alive groups."""
+    from pbrlab_tpu.ops.pallas.dense_v3 import dense_trace_v3
+
+    n = 384  # deliberately not a multiple of 128
+    org, d, mn, _ = _rays(demo_scene, n, rng_np)
+    full = dense_trace_v3(demo_scene["dense_tris"],
+                          demo_scene["dense_cluster_aabb"], org, d, mn,
+                          jnp.full((n,), INF), interpret=True)
+    t = np.asarray(full["t"])
+    hit = np.asarray(full["prim"]) >= 0
+    # halve max_t on hit lanes, kill every 3rd lane
+    mx = np.where(hit, t * 0.5, 1.0).astype(np.float32)
+    mx[::3] = -1.0
+    lim = dense_trace_v3(demo_scene["dense_tris"],
+                         demo_scene["dense_cluster_aabb"], org, d, mn,
+                         jnp.asarray(mx), interpret=True)
+    assert (np.asarray(lim["prim"])[hit] == -1).all()
+    assert (np.asarray(lim["prim"])[::3] == -1).all()
+
+
+def test_dense_v3_permutation_invariant(demo_scene, rng_np):
+    """Results are bit-identical per ray under any lane permutation (beam
+    culling is conservative — grouping only affects survivor list size)."""
+    from pbrlab_tpu.ops.pallas.dense_v3 import dense_trace_v3
+
+    n = 512
+    org, d, mn, mx = _rays(demo_scene, n, rng_np)
+    perm = rng_np.permutation(n)
+    base = dense_trace_v3(demo_scene["dense_tris"],
+                          demo_scene["dense_cluster_aabb"], org, d, mn, mx,
+                          interpret=True)
+    shuf = dense_trace_v3(demo_scene["dense_tris"],
+                          demo_scene["dense_cluster_aabb"], org[perm],
+                          d[perm], mn[perm], mx[perm], interpret=True)
+    np.testing.assert_array_equal(np.asarray(base["t"])[perm],
+                                  np.asarray(shuf["t"]))
+    np.testing.assert_array_equal(np.asarray(base["prim"])[perm],
+                                  np.asarray(shuf["prim"]))
+
+
+def test_beam_cull_is_conservative(demo_scene, rng_np):
+    """Every exact per-ray survivor is contained in the beam group mask."""
+    from pbrlab_tpu.ops.pallas.dense_v3 import (cluster_mask,
+                                                group_survivors_beam)
+
+    n = 1024
+    org, d, mn, mx = _rays(demo_scene, n, rng_np)
+    aabb = demo_scene["dense_cluster_aabb"]
+    exact = np.asarray(cluster_mask(aabb, org, d, mn, mx))
+    exact_g = exact.reshape(n // 128, 128, -1).any(axis=1)
+    beam = np.asarray(group_survivors_beam(aabb, org, d, mn, mx))
+    assert (exact_g <= beam).all()
+
+
 def test_dense_curve_matches_bvh(rng_np):
     """Dense hair kernel vs the BVH ribbon walk on a hair tuft."""
     from pbrlab_tpu.io.cyhair import make_demo_hair

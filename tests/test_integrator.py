@@ -101,6 +101,35 @@ def test_light_emission_gradient_matches_fd(small_scene):
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-2)
 
 
+def test_volume_substeps_noop_without_sss(small_scene):
+    """k_volume substeps must be bit-exact no-ops when no lane ever enters
+    volume mode (lambert-only scene)."""
+    _, scene_dev = small_scene
+    a = np.asarray(render(scene_dev, 8, 8, 2, max_steps=6))
+    b = np.asarray(render(scene_dev, 8, 8, 2, max_steps=6, k_volume=3))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def sss_scene():
+    """Lucy-only SSS scene (subsurface 1.0): long volume walks."""
+    scene_np, _ = build_demo_scene(subdiv=1, with_monkey=False)
+    return scene_to_device(scene_np)
+
+
+def test_sss_walk_budget(sss_scene):
+    """The shared max_steps budget truncates dense SSS walks (VERDICT
+    Missing #4); k_volume substeps must recover the energy: a
+    (max_steps=8, k_volume=4) render lands near the long-budget reference
+    (max_steps=40) where the plain max_steps=8 render is dimmer."""
+    ref = np.asarray(render(sss_scene, 16, 16, 24, max_steps=40)).mean()
+    short = np.asarray(render(sss_scene, 16, 16, 24, max_steps=8)).mean()
+    fixed = np.asarray(
+        render(sss_scene, 16, 16, 24, max_steps=8, k_volume=4)).mean()
+    assert abs(fixed - ref) <= abs(short - ref) + 1e-6
+    assert abs(fixed - ref) / ref < 0.05, (fixed, ref, short)
+
+
 def test_compaction_is_bit_identical(small_scene):
     """Lane sorting must not change the image (per-lane RNG invariance)."""
     from pbrlab_tpu.render.integrator import render_lanes
