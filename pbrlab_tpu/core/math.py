@@ -60,6 +60,18 @@ def safe_sqrt(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
+def grad_safe_sqrt(x, eps=1e-12):
+    """sqrt with a floor that also keeps the BACKWARD pass finite.
+
+    d(sqrt)/dx -> inf as x -> 0+; when such a sqrt sits inside the untaken
+    operand of a jnp.where, the where-backward's masked gradient (0) meets
+    that inf as 0 * inf = NaN (the "where trap"). The eps floor (primal
+    shift <= 1e-6, below every use's working range) bounds the derivative
+    at 5e5 so masking zeroes it cleanly.
+    """
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def average(c):
     """(r+g+b)/3 — reference pbrlab-util.h Average."""
     return jnp.mean(c, axis=-1)

@@ -215,16 +215,16 @@ def has_curves(scene) -> bool:
 
 def _tri_backend(scene) -> str:
     """Static backend choice: the gather-free dense Pallas kernels on TPU
-    ("dense3" survivor-list kernel by default), the threaded BVH on CPU
+    ("dense4" scalar-triangle kernel by default), the threaded BVH on CPU
     (XLA:CPU gathers are fast; Pallas interpret is not). Override with
-    PBRLAB_TRACE_BACKEND=dense3|dense|bvh."""
+    PBRLAB_TRACE_BACKEND=dense4|dense3|dense|bvh."""
     import os
 
     mode = os.environ.get("PBRLAB_TRACE_BACKEND", "auto")
-    if mode in ("dense", "dense2", "dense3", "bvh"):
+    if mode in ("dense", "dense2", "dense3", "dense4", "bvh"):
         return "dense" if mode == "dense2" else mode
-    if "dense_tris" in scene and jax.default_backend() != "cpu":
-        return "dense3"
+    if "dense_tris_v4" in scene and jax.default_backend() != "cpu":
+        return "dense4"
     return "bvh"
 
 
@@ -232,25 +232,48 @@ def _use_dense(scene) -> bool:
     return _tri_backend(scene) != "bvh"
 
 
+def _remap_legacy_prim(scene, res):
+    """V2/V3 prim ids are in their own Morton order over the slot-ordered
+    columns; map back to canonical slot ids (legacy backends only)."""
+    order = scene["dense_order"]
+    prim = res["prim"]
+    res = dict(res)
+    res["prim"] = jnp.where(prim >= 0, order[jnp.maximum(prim, 0)], -1)
+    return res
+
+
 def _closest_tri(scene, org, direction, min_t, max_t):
     backend = _tri_backend(scene)
+    if backend == "dense4":
+        from .pallas.dense_v4 import dense_trace_v4
+
+        return dense_trace_v4(scene["dense_tris_v4"],
+                              scene["dense_cluster_aabb_v4"],
+                              org, direction, min_t, max_t)
     if backend == "dense3":
         from .pallas.dense_v3 import dense_trace_v3
 
-        return dense_trace_v3(scene["dense_tris"],
-                              scene["dense_cluster_aabb"],
-                              org, direction, min_t, max_t)
+        return _remap_legacy_prim(scene, dense_trace_v3(
+            scene["dense_tris"], scene["dense_cluster_aabb"],
+            org, direction, min_t, max_t))
     if backend == "dense":
         from .pallas.dense_v2 import dense_trace_v2
 
-        return dense_trace_v2(scene["dense_tris"],
-                              scene["dense_cluster_aabb"],
-                              org, direction, min_t, max_t)
+        return _remap_legacy_prim(scene, dense_trace_v2(
+            scene["dense_tris"], scene["dense_cluster_aabb"],
+            org, direction, min_t, max_t))
     return intersect_bvh(scene, org, direction, min_t, max_t)
 
 
 def _occluded_tri(scene, org, direction, min_t, max_t):
     backend = _tri_backend(scene)
+    if backend == "dense4":
+        from .pallas.dense_v4 import dense_trace_v4
+
+        res = dense_trace_v4(scene["dense_tris_v4"],
+                             scene["dense_cluster_aabb_v4"],
+                             org, direction, min_t, max_t, any_hit=True)
+        return res["prim"] >= 0
     if backend == "dense3":
         from .pallas.dense_v3 import dense_trace_v3
 

@@ -90,9 +90,12 @@ def _trace_kernel(ray_ref, tri_ref, surv_ref, cnt_ref, tnear_ref, out_ref,
         def surv_cond(carry):
             si, best_t, best_u, best_v, best_p = carry
             live = si < cnt_ref[gi, 0]
-            # front-to-back cutoff: strict improvement needs t < best_t
-            can_improve = jnp.max(best_t) > tnear_ref[
-                gi, jnp.minimum(si, n_surv_max - 1)]
+            # front-to-back cutoff: strict improvement needs t < best_t.
+            # The relative pad keeps the cutoff as tolerant as the slab
+            # test's 1.00000024 slop (degenerate groups can otherwise skip
+            # a hit closer by ~1 ulp).
+            nxt = tnear_ref[gi, jnp.minimum(si, n_surv_max - 1)]
+            can_improve = jnp.max(best_t) > nxt * (1.0 - 1e-6) - 1e-6
             if any_hit:
                 all_found = jnp.all(jnp.max(best_p, axis=0) >= 0.0)
                 can_improve = can_improve & ~all_found

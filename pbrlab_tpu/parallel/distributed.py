@@ -44,7 +44,18 @@ def init_distributed(coordinator: str | None = None,
     if process_id is None and "PBRLAB_PROCESS_ID" in os.environ:
         process_id = int(os.environ["PBRLAB_PROCESS_ID"])
     if coordinator is None:
-        return False
+        # TPU pod / managed-cluster path: bare initialize() auto-detects
+        # (GKE/Borg/Cloud TPU env). Only attempt when a cluster indicator
+        # is present so single-host CPU runs stay no-ops.
+        pod_env = ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                   "CLOUD_TPU_TASK_ID", "TPU_PROCESS_ADDRESSES")
+        if not any(k in os.environ for k in pod_env):
+            return False
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            return False
+        return jax.process_count() > 1
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -94,6 +94,9 @@ def train_step_builder(width: int, height: int, spp: int, mesh: Mesh,
 
     grad_keys = ("base_color", "subsurface_color", "subsurface_radius",
                  "roughness", "specular", "metallic")
+    # scene-level differentiable leaves (BASELINE "material/light/texture"):
+    # per-face emission and the texture atlas ride the same psum reduction
+    scene_keys = ("face_emission", "texture_atlas")
 
     def train_step(scene, target):
         lanes0 = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n - 1)
@@ -110,8 +113,10 @@ def train_step_builder(width: int, height: int, spp: int, mesh: Mesh,
             def loss_fn(params):
                 s = dict(scene_rep)
                 m = dict(s["materials"])
-                m.update(params)
+                m.update(params["materials"])
                 s["materials"] = m
+                for k in scene_keys:
+                    s[k] = params[k]
 
                 def body(acc, sample_id):
                     c = render_lanes(s, width, height, sample_id, 0,
@@ -131,13 +136,18 @@ def train_step_builder(width: int, height: int, spp: int, mesh: Mesh,
             loss = jax.lax.psum(loss, AXIS)
             return loss, grads
 
-        params = {k: scene["materials"][k] for k in grad_keys}
+        params = {"materials": {k: scene["materials"][k] for k in grad_keys}}
+        params.update({k: scene[k] for k in scene_keys})
         loss, grads = grad_shard(params, scene, lanes0, target_pad)
         new_mats = dict(scene["materials"])
         for k in grad_keys:
-            new_mats[k] = jnp.clip(params[k] - lr * grads[k], 0.0, None)
+            new_mats[k] = jnp.clip(
+                params["materials"][k] - lr * grads["materials"][k], 0.0,
+                None)
         new_scene = dict(scene)
         new_scene["materials"] = new_mats
+        for k in scene_keys:
+            new_scene[k] = jnp.clip(params[k] - lr * grads[k], 0.0, None)
         return loss, new_scene
 
     return jax.jit(train_step)

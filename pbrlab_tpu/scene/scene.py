@@ -269,35 +269,69 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     from ..geometry.bvh import build_bvh, triangle_bounds
     from ..ops.curves import flatten_curves, subsegment_bounds
     from ..ops.pallas.dense import pack_triangles
+    from ..ops.pallas.dense_v4 import pack_triangles_sah
 
     scene = dict(scene)
 
-    # Morton-reorder every per-face column so the dense kernel's sorted prim
-    # ids ARE the scene face ids (no remap gather in the hot loop).
-    packed, cluster_aabb, order = pack_triangles(
+    # The V4 kernel's SAH slot layout is the CANONICAL face order: every
+    # per-face column is scattered into the padded slot array (S = M *
+    # CLUSTER slots, padding rows zero), so the kernel's slot ids ARE the
+    # scene face ids with no remap gather in the hot loop.
+    packed4, cluster_aabb4, order = pack_triangles_sah(
         scene["tri_v0"], scene["tri_e1"], scene["tri_e2"])
-    if order.size:
-        inv = np.empty_like(order)
-        inv[order] = np.arange(order.size, dtype=np.int32)
+    F = scene["tri_v0"].shape[0]
+    S = order.shape[0]
+    if F:
+        valid = order >= 0
+        src = np.maximum(order, 0)
         for key in ("tri_v0", "tri_e1", "tri_e2", "face_ng", "face_area",
                     "face_ns", "face_has_ns", "face_uv", "face_has_uv",
                     "face_material", "face_light", "face_instance",
                     "face_geom", "face_emission", "face_light_pdf"):
-            scene[key] = scene[key][order]
+            col = scene[key][src]
+            col = np.where(
+                valid.reshape((S,) + (1,) * (col.ndim - 1)), col,
+                np.zeros_like(col))
+            scene[key] = col
+        inv = np.full((F,), -1, np.int32)
+        inv[order[valid]] = np.nonzero(valid)[0].astype(np.int32)
         if scene["emissive_faces"].size:
             scene["emissive_faces"] = inv[scene["emissive_faces"]]
+    scene["dense_tris_v4"] = packed4
+    scene["dense_cluster_aabb_v4"] = cluster_aabb4
+
+    # V2/V3 Morton packing runs on the VALID slots only (padding rows are
+    # degenerate); their sorted prim ids map back to slot ids through
+    # dense_order (legacy backends).
+    if F:
+        vslots = np.nonzero(order >= 0)[0].astype(np.int32)
+    else:
+        vslots = np.zeros((0,), np.int32)
+    packed, cluster_aabb, m_order = pack_triangles(
+        scene["tri_v0"][vslots], scene["tri_e1"][vslots],
+        scene["tri_e2"][vslots])
     scene["dense_tris"] = packed
     scene["dense_cluster_aabb"] = cluster_aabb
+    scene["dense_order"] = (vslots[m_order] if m_order.size
+                            else np.zeros((0,), np.int32))
 
-    bmin, bmax = triangle_bounds(scene["tri_v0"], scene["tri_e1"],
-                                 scene["tri_e2"])
+    # threaded BVH over the valid slots, prim ids remapped to slot ids
+    if F:
+        bmin, bmax = triangle_bounds(scene["tri_v0"][vslots],
+                                     scene["tri_e1"][vslots],
+                                     scene["tri_e2"][vslots])
+    else:
+        bmin, bmax = triangle_bounds(scene["tri_v0"], scene["tri_e1"],
+                                     scene["tri_e2"])
     bvh = build_bvh(bmin, bmax)
     scene = dict(scene)
     scene["bvh_min"] = bvh.aabb_min
     scene["bvh_max"] = bvh.aabb_max
     scene["bvh_skip"] = bvh.skip
     scene["bvh_prim_offset"] = bvh.prim_offset
-    scene["bvh_prim_ids"] = bvh.prim_ids
+    scene["bvh_prim_ids"] = np.where(
+        bvh.prim_ids >= 0, vslots[np.maximum(bvh.prim_ids, 0)],
+        -1).astype(np.int32) if F else bvh.prim_ids
 
     # hair: flatten Bezier segments into linear sub-segments; Morton-order
     # them for the dense kernel (both backends share the sorted order)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.math import PI, safe_sqrt, vnormalize
+from ..core.math import PI, grad_safe_sqrt, safe_sqrt, vnormalize
 
 _F32_EPS = 1.1920929e-07
 
@@ -43,7 +43,10 @@ def _sample_slopes(cos_theta_i, sin_theta_i, randu, randv):
     tmp = 1.0 / jnp.where(jnp.abs(aa - 1.0) < 1e-12, 1e-12, aa - 1.0)
     b = tan_theta_i
     bb = b * b
-    d = safe_sqrt(bb * (tmp * tmp) - (aa - bb) * tmp)
+    # grad_safe_sqrt: d can touch 0 at the sampling boundary; a plain
+    # safe_sqrt there makes the backward pass inf -> 0*inf NaN under the
+    # near-normal jnp.where below (the "where trap", see core.math)
+    d = grad_safe_sqrt(bb * (tmp * tmp) - (aa - bb) * tmp, 1e-24)
     slope_x_1 = b * tmp - d
     slope_x_2 = b * tmp + d
     slope_x = jnp.where((a < 0.0) | (slope_x_2 * tan_theta_i > 1.0),
@@ -72,8 +75,11 @@ def sample_stretched(omega_i, alpha_x, alpha_y, randu, randv):
          omega_i[..., 2]], axis=-1)
     wi = vnormalize(stretched)
     costheta = jnp.where(wi[..., 2] < 0.99999, wi[..., 2], 1.0)
+    # grad_safe_sqrt: at near-normal incidence 1 - wi_z^2 ~ 0 and the
+    # OTHER where-branch is taken; sqrt's inf derivative would turn the
+    # masked-out gradient into 0*inf = NaN (see core.math.grad_safe_sqrt)
     sintheta = jnp.where(wi[..., 2] < 0.99999,
-                         safe_sqrt(1.0 - wi[..., 2] * wi[..., 2]), 0.0)
+                         grad_safe_sqrt(1.0 - wi[..., 2] * wi[..., 2]), 0.0)
     invlen = 1.0 / jnp.maximum(sintheta, 1e-12)
     cosphi = jnp.where(wi[..., 2] < 0.99999, wi[..., 0] * invlen, 1.0)
     sinphi = jnp.where(wi[..., 2] < 0.99999, wi[..., 1] * invlen, 0.0)

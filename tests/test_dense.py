@@ -1,4 +1,10 @@
-"""Dense Pallas intersection kernel vs brute force (interpret mode on CPU)."""
+"""Dense Pallas intersection kernels vs brute force (interpret mode on CPU).
+
+After commit() the scene's face columns are in the V4 SAH slot order, so
+brute-force prim ids ARE slot ids. V4 returns slot ids directly; the legacy
+V2/V3 kernels return ids in their own Morton order and are remapped through
+scene["dense_order"] (as ops.intersect._remap_legacy_prim does).
+"""
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,22 +24,31 @@ def _rays(scene, n, rng):
             jnp.zeros((n,), jnp.float32), jnp.full((n,), INF, jnp.float32))
 
 
+def _remap(scene, prim):
+    prim = np.asarray(prim)
+    order = np.asarray(scene["dense_order"])
+    return np.where(prim >= 0, order[np.maximum(prim, 0)], -1)
+
+
+def _check_against_bruteforce(scene, got, ref, remap=False):
+    hit_ref = np.asarray(ref["prim"]) >= 0
+    got_prim = _remap(scene, got["prim"]) if remap else np.asarray(
+        got["prim"])
+    np.testing.assert_array_equal(hit_ref, got_prim >= 0)
+    np.testing.assert_allclose(np.asarray(got["t"])[hit_ref],
+                               np.asarray(ref["t"])[hit_ref], rtol=1e-3,
+                               atol=1e-4)
+    same = np.asarray(ref["prim"]) == got_prim
+    assert same[hit_ref].mean() > 0.99
+
+
 def test_dense_matches_bruteforce(demo_scene, rng_np):
-    """After commit() the scene's faces are Morton-ordered, so dense prim
-    ids are directly comparable with the brute-force ids."""
     org, d, mn, mx = _rays(demo_scene, 512, rng_np)
     ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
     got = dense_trace(demo_scene["dense_tris"],
                       demo_scene["dense_cluster_aabb"], org, d, mn, mx,
                       interpret=True)
-    hit_ref = np.asarray(ref["prim"]) >= 0
-    hit_got = np.asarray(got["prim"]) >= 0
-    np.testing.assert_array_equal(hit_ref, hit_got)
-    np.testing.assert_allclose(np.asarray(got["t"])[hit_ref],
-                               np.asarray(ref["t"])[hit_ref], rtol=1e-3,
-                               atol=1e-4)
-    same = np.asarray(ref["prim"]) == np.asarray(got["prim"])
-    assert same[hit_ref].mean() > 0.99
+    _check_against_bruteforce(demo_scene, got, ref, remap=True)
 
 
 def test_dense_any_hit(demo_scene, rng_np):
@@ -62,78 +77,72 @@ def test_dense_respects_max_t(demo_scene, rng_np):
     assert (np.asarray(lim["prim"])[hit] == -1).all()
 
 
-def test_dense_v2_matches_bruteforce(demo_scene, rng_np):
-    from pbrlab_tpu.ops.pallas.dense_v2 import dense_trace_v2
-
-    org, d, mn, mx = _rays(demo_scene, 512, rng_np)
-    ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
-    got = dense_trace_v2(demo_scene["dense_tris"],
-                         demo_scene["dense_cluster_aabb"], org, d, mn, mx,
-                         interpret=True)
-    hit_ref = np.asarray(ref["prim"]) >= 0
-    np.testing.assert_array_equal(hit_ref, np.asarray(got["prim"]) >= 0)
-    np.testing.assert_allclose(np.asarray(got["t"])[hit_ref],
-                               np.asarray(ref["t"])[hit_ref], rtol=1e-3,
-                               atol=1e-4)
-    same = np.asarray(ref["prim"]) == np.asarray(got["prim"])
-    assert same[hit_ref].mean() > 0.99
-
-
 def test_dense_v3_matches_bruteforce(demo_scene, rng_np):
     """Survivor-list kernel, both cull modes, vs the brute-force oracle."""
     from pbrlab_tpu.ops.pallas.dense_v3 import dense_trace_v3
 
-    org, d, mn, mx = _rays(demo_scene, 512, rng_np)
+    org, d, mn, mx = _rays(demo_scene, 256, rng_np)
     ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
-    hit_ref = np.asarray(ref["prim"]) >= 0
     for cull in ("beam", "exact"):
         got = dense_trace_v3(demo_scene["dense_tris"],
                              demo_scene["dense_cluster_aabb"], org, d, mn,
                              mx, interpret=True, cull=cull)
-        np.testing.assert_array_equal(hit_ref, np.asarray(got["prim"]) >= 0,
-                                      err_msg=cull)
-        np.testing.assert_allclose(np.asarray(got["t"])[hit_ref],
-                                   np.asarray(ref["t"])[hit_ref], rtol=1e-3,
-                                   atol=1e-4, err_msg=cull)
-        same = np.asarray(ref["prim"]) == np.asarray(got["prim"])
-        assert same[hit_ref].mean() > 0.99, cull
+        _check_against_bruteforce(demo_scene, got, ref, remap=True)
 
 
-def test_dense_v3_respects_max_t_and_dead_lanes(demo_scene, rng_np):
+def test_dense_v4_matches_bruteforce(demo_scene, rng_np):
+    """Scalar-triangle kernel (default TPU backend) vs brute force —
+    closest hit, any hit, and prim ids are slot ids with NO remap."""
+    from pbrlab_tpu.ops.pallas.dense_v4 import dense_trace_v4
+
+    org, d, mn, mx = _rays(demo_scene, 512, rng_np)
+    ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
+    got = dense_trace_v4(demo_scene["dense_tris_v4"],
+                         demo_scene["dense_cluster_aabb_v4"], org, d, mn,
+                         mx, interpret=True)
+    _check_against_bruteforce(demo_scene, got, ref)
+    any_h = dense_trace_v4(demo_scene["dense_tris_v4"],
+                           demo_scene["dense_cluster_aabb_v4"], org, d, mn,
+                           mx, any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(any_h["prim"]) >= 0,
+                                  np.asarray(ref["prim"]) >= 0)
+
+
+def test_dense_v4_respects_max_t_and_dead_lanes(demo_scene, rng_np):
     """Per-lane max_t clips hits; dead lanes (max_t < 0) never hit, even
-    when padded into partially-alive groups."""
-    from pbrlab_tpu.ops.pallas.dense_v3 import dense_trace_v3
+    padded into partially-alive groups (n not a multiple of the tile)."""
+    from pbrlab_tpu.ops.pallas.dense_v4 import dense_trace_v4
 
-    n = 384  # deliberately not a multiple of 128
+    n = 384
     org, d, mn, _ = _rays(demo_scene, n, rng_np)
-    full = dense_trace_v3(demo_scene["dense_tris"],
-                          demo_scene["dense_cluster_aabb"], org, d, mn,
+    full = dense_trace_v4(demo_scene["dense_tris_v4"],
+                          demo_scene["dense_cluster_aabb_v4"], org, d, mn,
                           jnp.full((n,), INF), interpret=True)
     t = np.asarray(full["t"])
     hit = np.asarray(full["prim"]) >= 0
-    # halve max_t on hit lanes, kill every 3rd lane
     mx = np.where(hit, t * 0.5, 1.0).astype(np.float32)
     mx[::3] = -1.0
-    lim = dense_trace_v3(demo_scene["dense_tris"],
-                         demo_scene["dense_cluster_aabb"], org, d, mn,
+    lim = dense_trace_v4(demo_scene["dense_tris_v4"],
+                         demo_scene["dense_cluster_aabb_v4"], org, d, mn,
                          jnp.asarray(mx), interpret=True)
     assert (np.asarray(lim["prim"])[hit] == -1).all()
     assert (np.asarray(lim["prim"])[::3] == -1).all()
 
 
-def test_dense_v3_permutation_invariant(demo_scene, rng_np):
-    """Results are bit-identical per ray under any lane permutation (beam
-    culling is conservative — grouping only affects survivor list size)."""
-    from pbrlab_tpu.ops.pallas.dense_v3 import dense_trace_v3
+def test_dense_v4_permutation_invariant(demo_scene, rng_np):
+    """Results are bit-identical per ray under any lane permutation (exact
+    culling — grouping only affects survivor list size, never membership
+    for the rays present)."""
+    from pbrlab_tpu.ops.pallas.dense_v4 import dense_trace_v4
 
     n = 512
     org, d, mn, mx = _rays(demo_scene, n, rng_np)
     perm = rng_np.permutation(n)
-    base = dense_trace_v3(demo_scene["dense_tris"],
-                          demo_scene["dense_cluster_aabb"], org, d, mn, mx,
-                          interpret=True)
-    shuf = dense_trace_v3(demo_scene["dense_tris"],
-                          demo_scene["dense_cluster_aabb"], org[perm],
+    base = dense_trace_v4(demo_scene["dense_tris_v4"],
+                          demo_scene["dense_cluster_aabb_v4"], org, d, mn,
+                          mx, interpret=True)
+    shuf = dense_trace_v4(demo_scene["dense_tris_v4"],
+                          demo_scene["dense_cluster_aabb_v4"], org[perm],
                           d[perm], mn[perm], mx[perm], interpret=True)
     np.testing.assert_array_equal(np.asarray(base["t"])[perm],
                                   np.asarray(shuf["t"]))
