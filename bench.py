@@ -22,8 +22,10 @@ import numpy as np
 
 
 def main():
-    width = height = int(os.environ.get("BENCH_RES", "512"))
-    spp = int(os.environ.get("BENCH_SPP", "16"))
+    # defaults = the BASELINE.md headline workload (cornellbox 1024^2,
+    # 64 spp); BENCH_* env scales down for quick runs
+    width = height = int(os.environ.get("BENCH_RES", "1024"))
+    spp = int(os.environ.get("BENCH_SPP", "64"))
     max_steps = int(os.environ.get("BENCH_STEPS", "12"))
 
     from pbrlab_tpu.render.integrator import render

@@ -57,6 +57,9 @@ def main(argv=None):
                          "walks (-1 = auto: 3 when the scene has SSS)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="rgba.png")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="progressive render with the HTTP preview/editor "
+                         "(reference GUI analogue) on this port")
     args = ap.parse_args(argv)
 
     import jax
@@ -94,6 +97,28 @@ def main(argv=None):
     if k_volume < 0:
         k_volume = 3 if scene_has_sss(scene_np) else 0
     scene = scene_to_device(scene_np)
+
+    if args.serve is not None:
+        from ..app.viewer import PreviewServer
+        from ..render.progressive import ProgressiveRenderer
+
+        names = None
+        if args.scenes == ["demo"]:
+            from ..scene.demo import build_demo_scene as _b
+
+            _, builder = _b()
+            names = builder.materials.names
+        r = ProgressiveRenderer(scene, args.width, args.height,
+                                material_names=names or [],
+                                seed=args.seed, max_steps=args.max_steps)
+        srv = PreviewServer(r, max_pass=args.spp)
+        port = srv.start(port=args.serve)
+        print(f"preview at http://127.0.0.1:{port} "
+              f"(progressive, {args.spp} passes)", file=sys.stderr)
+        img = srv.render_loop()
+        save_png(args.out, np.asarray(img))
+        print(f"wrote {args.out}", file=sys.stderr)
+        return 0
 
     t0 = time.time()
     img = render(scene, args.width, args.height, args.spp, seed=args.seed,

@@ -120,3 +120,21 @@ def fresnel_dielectric_cos(cos_i, eta):
     refl = 0.5 * a * a * (1.0 + b * b)
     refl = jnp.where(g2 > 0.0, refl, 1.0)
     return jnp.where(jnp.abs(eta) < jnp.finfo(jnp.float32).eps, 1.0, refl)
+
+
+def small_table_fetch(table, idx, max_rows: int = 32):
+    """Per-lane row fetch [R, C][idx] that sidesteps XLA's gather.
+
+    TPU gathers cost ~15 ns per ROW regardless of width; for the small
+    id-indexed tables of a scene (materials, emissive faces) a masked
+    select-sum is R*C vectorized ops — orders of magnitude cheaper at
+    wavefront widths. Falls back to a real gather past max_rows. idx is
+    assumed pre-clipped to [0, R).
+    """
+    r = table.shape[0]
+    if r == 0 or r > max_rows:
+        return table[idx]
+    out = jnp.broadcast_to(table[0], idx.shape + (table.shape[1],))
+    for k in range(1, r):
+        out = jnp.where((idx == k)[..., None], table[k], out)
+    return out

@@ -215,16 +215,21 @@ def has_curves(scene) -> bool:
 
 def _tri_backend(scene) -> str:
     """Static backend choice: the gather-free dense Pallas kernels on TPU
-    ("dense4" scalar-triangle kernel by default), the threaded BVH on CPU
-    (XLA:CPU gathers are fast; Pallas interpret is not). Override with
-    PBRLAB_TRACE_BACKEND=dense4|dense3|dense|bvh."""
+    ("dense5" fused packet-traversal kernel by default), the threaded BVH
+    on CPU (XLA:CPU gathers are fast; Pallas interpret is not). Override
+    with PBRLAB_TRACE_BACKEND=dense5|dense4|dense3|dense|bvh."""
     import os
 
     mode = os.environ.get("PBRLAB_TRACE_BACKEND", "auto")
-    if mode in ("dense", "dense2", "dense3", "dense4", "bvh"):
+    if mode in ("dense", "dense2", "dense3", "dense4", "dense5", "bvh"):
         return "dense" if mode == "dense2" else mode
-    if "dense_tris_v4" in scene and jax.default_backend() != "cpu":
-        return "dense4"
+    if "v5_node_aabb" in scene and jax.default_backend() != "cpu":
+        # v4's flat XLA cull is O(N_rays x M_clusters) — fastest while M
+        # is small (measured +6% over v5 on the 122-cluster cornellbox);
+        # the v5 packet traversal scales O(log M) and takes over beyond
+        if scene["dense_cluster_aabb_v4"].shape[1] <= 256:
+            return "dense4"
+        return "dense5"
     return "bvh"
 
 
@@ -244,6 +249,12 @@ def _remap_legacy_prim(scene, res):
 
 def _closest_tri(scene, org, direction, min_t, max_t):
     backend = _tri_backend(scene)
+    if backend == "dense5":
+        from .pallas.dense_v5 import dense_trace_v5
+
+        return dense_trace_v5(scene["dense_tris_v4"],
+                              scene["v5_node_aabb"], scene["v5_node_meta"],
+                              org, direction, min_t, max_t)
     if backend == "dense4":
         from .pallas.dense_v4 import dense_trace_v4
 
@@ -267,6 +278,13 @@ def _closest_tri(scene, org, direction, min_t, max_t):
 
 def _occluded_tri(scene, org, direction, min_t, max_t):
     backend = _tri_backend(scene)
+    if backend == "dense5":
+        from .pallas.dense_v5 import dense_trace_v5
+
+        res = dense_trace_v5(scene["dense_tris_v4"],
+                             scene["v5_node_aabb"], scene["v5_node_meta"],
+                             org, direction, min_t, max_t, any_hit=True)
+        return res["prim"] >= 0
     if backend == "dense4":
         from .pallas.dense_v4 import dense_trace_v4
 

@@ -152,7 +152,10 @@ def _trace_kernel(ray_ref, tri_ref, surv_ref, cnt_ref, tnear_ref, out_ref,
             nxt = tnear_ref[g, 0, jnp.minimum(si, n_surv_max - 1)]
             can_improve = jnp.max(best_t) > nxt * (1.0 - 1e-6) - 1e-6
             if any_hit:
-                can_improve = can_improve & ~jnp.all(best_p >= 0.0)
+                # dead/invalid lanes (maxt < mint) count as done, else a
+                # single dead lane blocks the early exit forever
+                can_improve = can_improve & ~jnp.all((best_p >= 0.0)
+                                                     | (maxt < mint))
             return live & can_improve
 
         def body(carry):

@@ -1,0 +1,354 @@
+"""Pallas TPU kernel V5: fused BVH packet traversal (cull + trace).
+
+Replaces rtcIntersect1 / rtcOccluded1
+(/root/reference/src/raytracer/raytracer_impl.cc:268-287). The SAH build
+algorithm mirrors nanort's binned-SAH (/root/reference/src/nanort.h:1887)
+via geometry.bvh.build_bvh; this kernel is the traversal.
+
+Why V5 (measured on chip, ARCHITECTURE.md):
+
+* V4 moved the trace itself to scalar-triangle survivor lists and hit
+  23.8 Mray/s on signature-sorted rays — but its cluster cull ran in XLA
+  as an O(N_rays x M_clusters) elementwise pass over HBM plus a [G, M]
+  argsort. That prep alone floors the pipeline at ~32 Mray/s (the all-dead
+  "empty work" case) and is paid by closest-hit, shadow, AND the
+  compaction signature every wavefront step.
+* V5 does the cull INSIDE the kernel as a classic packet traversal: one
+  1024-ray group descends the binned-SAH BVH with an explicit scalar
+  stack in SMEM, slab-testing each node against all 1024 rays on the VPU
+  (~25 ops + one min-reduce), descending near-child-first, and pruning
+  subtrees once every lane's best_t beats the subtree's entry t
+  (front-to-back early exit == Embree's ordered traversal). Nothing is
+  materialized to HBM; scaling is O(log F) per group, not O(M).
+
+A NOTE ON THE MXU: the per-(ray,tri) work is 6 dot products against the
+7-vector (o, d, 1). On the MXU that is a contraction of depth K=7 padded
+to 128 -> >= 18x waste; at f32 the effective cost is ~48-64 cycles/tri vs
+~35 on the VPU with scalar-operand FMAs. Measured-and-rejected; see
+ARCHITECTURE.md perf notes.
+
+Contract matches dense.dense_trace: returns dict(t, u, v, prim) with prim
+in SAH slot order (scene commit reorders all face columns to match, so
+slot ids ARE face ids).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.math import INF
+
+GROUP = 1024  # rays per group: 8 sublanes x 128 lanes
+CLUSTER = 32  # triangles per BVH leaf (slot window)
+STACK = 128  # max traversal stack entries (asserted at build)
+_BIG = 1e30  # python float: jnp module constants commit to a device (CLAUDE.md)
+
+
+def build_v5(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
+             cluster: int = CLUSTER):
+    """Build the packed triangle table + flat BVH node arrays.
+
+    Returns (packed [12, S], leaf_aabb [8, M], order [S], node_aabb
+    [6, Nn], node_meta [2, Nn]) where S = M * cluster slots (padding rows
+    are all-zero -> den = 0 -> miss), node_meta[0] = right-child index for
+    internal nodes / -1 for leaves, node_meta[1] = leaf slot base / -1.
+
+    The BVH is depth-first with skip links (geometry.bvh): left child =
+    n + 1 and right child = skip[n + 1] (the next disjoint subtree after
+    the left child IS the right child). Validated here so the native C++
+    builder path can't silently break the derivation.
+    """
+    from ...geometry.bvh import build_bvh
+
+    if tri_v0.shape[0] == 0:
+        packed = np.zeros((12, cluster), np.float32)
+        leaf_aabb = np.zeros((8, 1), np.float32)
+        leaf_aabb[0:3] = 1e30
+        leaf_aabb[3:6] = -1e30
+        node_aabb = np.zeros((6, 1), np.float32)
+        node_aabb[0:3] = 1e30
+        node_aabb[3:6] = -1e30
+        node_meta = np.asarray([[-1], [0]], np.int32)
+        return (packed, leaf_aabb, np.full((cluster,), -1, np.int32),
+                node_aabb, node_meta)
+
+    bmin = np.minimum(np.minimum(tri_v0, tri_v0 + tri_e1), tri_v0 + tri_e2)
+    bmax = np.maximum(np.maximum(tri_v0, tri_v0 + tri_e1), tri_v0 + tri_e2)
+    bvh = build_bvh(bmin, bmax, leaf_size=cluster)
+
+    nn = bvh.num_nodes
+    is_leaf = bvh.prim_offset >= 0
+    right = np.full((nn,), -1, np.int32)
+    internal = np.nonzero(~is_leaf)[0]
+    if internal.size:
+        right[internal] = bvh.skip[internal + 1]
+        # validate the left/right derivation (guards the native builder)
+        assert (right[internal] > internal + 1).all()
+        assert (bvh.skip[right[internal]] == bvh.skip[internal]).all()
+    # stack bound: depth-first max live stack = tree depth + 1
+    depth = np.zeros((nn,), np.int32)
+    for n in internal:
+        depth[n + 1] = depth[n] + 1
+        depth[right[n]] = depth[n] + 1
+    assert depth.max() + 2 < STACK, f"BVH depth {depth.max()} overflows stack"
+
+    node_meta = np.stack([right, bvh.prim_offset]).astype(np.int32)
+    node_aabb = np.concatenate([bvh.aabb_min.T, bvh.aabb_max.T]).astype(
+        np.float32)
+
+    order = bvh.prim_ids.astype(np.int32)
+    src = np.maximum(order, 0)
+    v0 = tri_v0[src]
+    e1 = tri_e1[src]
+    e2 = tri_e2[src]
+    n = np.cross(e1, e2)
+    nrm2 = np.maximum((n * n).sum(-1, keepdims=True), 1e-30)
+    b1 = np.cross(e2, n) / nrm2
+    b2 = np.cross(n, e1) / nrm2
+    packed = np.zeros((12, order.shape[0]), np.float32)
+    packed[0:3] = n.T
+    packed[3] = (n * v0).sum(-1)
+    packed[4:7] = b1.T
+    packed[7] = (b1 * v0).sum(-1)
+    packed[8:11] = b2.T
+    packed[11] = (b2 * v0).sum(-1)
+    packed[:, order < 0] = 0.0  # padding: den = 0 -> miss
+
+    leaves = np.nonzero(is_leaf)[0]
+    leaf_aabb = np.zeros((8, leaves.shape[0]), np.float32)
+    # leaf_aabb column ORDER matches slot order: leaf k covers slots
+    # [k*cluster, (k+1)*cluster) because prim windows are emitted in DFS
+    # order (geometry.bvh emit()); assert it.
+    assert (bvh.prim_offset[leaves]
+            == np.arange(leaves.shape[0]) * cluster).all()
+    leaf_aabb[0:3] = bvh.aabb_min[leaves].T
+    leaf_aabb[3:6] = bvh.aabb_max[leaves].T
+    return packed, leaf_aabb, order, node_aabb, node_meta
+
+
+def _trace_kernel(ray_ref, tri_ref, naabb_ref, nmeta_ref, out_ref,
+                  stk_id, stk_tn, *, any_hit, cluster):
+    """One 1024-ray group per grid step; packet BVH traversal.
+
+    ray_ref [1, 8, 8, 128] VMEM: attr-major (ox oy oz dx dy dz mint maxt).
+    tri_ref [12, S] SMEM: packed triangles (scalar operands).
+    naabb_ref [6, Nn] SMEM: node lo.xyz/hi.xyz.
+    nmeta_ref [2, Nn] SMEM: right-child / leaf slot base.
+    stk_id/stk_tn: SMEM scratch [STACK] traversal stack (id, entry tnear).
+    out_ref [1, 8, 8, 128] VMEM: rows t, u, v, prim, hit, 0, 0, 0.
+    """
+    ox = ray_ref[0, 0]
+    oy = ray_ref[0, 1]
+    oz = ray_ref[0, 2]
+    dx = ray_ref[0, 3]
+    dy = ray_ref[0, 4]
+    dz = ray_ref[0, 5]
+    mint = ray_ref[0, 6]
+    maxt = ray_ref[0, 7]
+
+    eps = jnp.float32(1e-12)
+    idx = 1.0 / jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
+    idy = 1.0 / jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
+    idz = 1.0 / jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
+    oxx = ox * idx
+    oyy = oy * idy
+    ozz = oz * idz
+
+    best_t = maxt  # max_t folds into the initial best
+    zero = jnp.zeros_like(ox)
+    best_u = zero
+    best_v = zero
+    best_p = zero - 1.0
+
+    # group-dead check: all padding/dead lanes carry maxt < 0
+    gmax = jnp.max(best_t)
+    stk_id[0] = jnp.int32(0)
+    stk_tn[0] = jnp.float32(-1e30)
+    sp0 = jnp.where(gmax >= 0.0, jnp.int32(1), jnp.int32(0))
+
+    slop = jnp.float32(1.00000024)
+    big = jnp.float32(_BIG)
+
+    def slab(node, best_t):
+        """Group slab test vs node AABB -> scalar min entry-t (BIG=miss)."""
+        t0 = naabb_ref[0, node] * idx - oxx
+        t1 = naabb_ref[3, node] * idx - oxx
+        nx = jnp.minimum(t0, t1)
+        fx = jnp.maximum(t0, t1)
+        t0 = naabb_ref[1, node] * idy - oyy
+        t1 = naabb_ref[4, node] * idy - oyy
+        ny = jnp.minimum(t0, t1)
+        fy = jnp.maximum(t0, t1)
+        t0 = naabb_ref[2, node] * idz - ozz
+        t1 = naabb_ref[5, node] * idz - ozz
+        nz = jnp.minimum(t0, t1)
+        fz = jnp.maximum(t0, t1)
+        tnear = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, mint))
+        tfar = jnp.minimum(jnp.minimum(fx, fy),
+                           jnp.minimum(fz, best_t))
+        return jnp.min(jnp.where(tnear <= tfar * slop, tnear, big))
+
+    def cond(carry):
+        sp = carry[0]
+        return sp > 0
+
+    def body(carry):
+        sp, best_t, best_u, best_v, best_p, gmax = carry
+        sp = sp - 1
+        node = stk_id[sp]
+        tn_pop = stk_tn[sp]
+        # relative pad keeps the cutoff as tolerant as the slab test
+        live = tn_pop * (1.0 - 1e-6) - 1e-6 <= gmax
+
+        def visit(carry):
+            sp, best_t, best_u, best_v, best_p, gmax = carry
+            right = nmeta_ref[0, node]
+
+            def leaf(carry):
+                sp, best_t, best_u, best_v, best_p, gmax = carry
+                base = nmeta_ref[1, node]
+                for k in range(cluster):
+                    i = base + k
+                    nx = tri_ref[0, i]
+                    ny = tri_ref[1, i]
+                    nz = tri_ref[2, i]
+                    k0 = tri_ref[3, i]
+                    den = dx * nx + dy * ny + dz * nz
+                    num = k0 - (ox * nx + oy * ny + oz * nz)
+                    # den==0 -> t inf/nan -> comparisons fail (padding
+                    # rows are all-zero, so they can never hit)
+                    t = num / den
+                    b1x = tri_ref[4, i]
+                    b1y = tri_ref[5, i]
+                    b1z = tri_ref[6, i]
+                    c1 = tri_ref[7, i]
+                    u = (ox * b1x + oy * b1y + oz * b1z - c1) \
+                        + t * (dx * b1x + dy * b1y + dz * b1z)
+                    b2x = tri_ref[8, i]
+                    b2y = tri_ref[9, i]
+                    b2z = tri_ref[10, i]
+                    c2 = tri_ref[11, i]
+                    v = (ox * b2x + oy * b2y + oz * b2z - c2) \
+                        + t * (dx * b2x + dy * b2y + dz * b2z)
+                    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                          & (t >= mint) & (t < best_t))
+                    fi = i.astype(jnp.float32)
+                    best_u = jnp.where(ok, u, best_u)
+                    best_v = jnp.where(ok, v, best_v)
+                    best_p = jnp.where(ok, fi, best_p)
+                    best_t = jnp.where(ok, t, best_t)
+                gmax = jnp.max(best_t)
+                if any_hit:
+                    # stop once every LIVE lane has an occluder: dead /
+                    # padding / invalid-NEE lanes (maxt < mint) can never
+                    # find one and must not block the early exit
+                    done = jnp.all((best_p >= 0.0) | (maxt < mint))
+                    sp = jnp.where(done, jnp.int32(0), sp)
+                return sp, best_t, best_u, best_v, best_p, gmax
+
+            def internal(carry):
+                sp, best_t, best_u, best_v, best_p, gmax = carry
+                left = node + 1
+                tn_l = slab(left, best_t)
+                tn_r = slab(right, best_t)
+                # push far child first, near second (popped first)
+                l_far = tn_l > tn_r
+                far_id = jnp.where(l_far, left, right)
+                far_tn = jnp.maximum(tn_l, tn_r)
+                near_id = jnp.where(l_far, right, left)
+                near_tn = jnp.minimum(tn_l, tn_r)
+                hit_far = far_tn < big
+                hit_near = near_tn < big
+
+                @pl.when(hit_far)
+                def _():
+                    stk_id[sp] = far_id
+                    stk_tn[sp] = far_tn
+
+                sp1 = sp + hit_far.astype(jnp.int32)
+
+                @pl.when(hit_near)
+                def _():
+                    stk_id[sp1] = near_id
+                    stk_tn[sp1] = near_tn
+
+                sp2 = sp1 + hit_near.astype(jnp.int32)
+                return sp2, best_t, best_u, best_v, best_p, gmax
+
+            return jax.lax.cond(right < 0, leaf, internal,
+                                (sp, best_t, best_u, best_v, best_p, gmax))
+
+        return jax.lax.cond(
+            live, visit, lambda c: c,
+            (sp, best_t, best_u, best_v, best_p, gmax))
+
+    _, best_t, best_u, best_v, best_p, _ = jax.lax.while_loop(
+        cond, body, (sp0, best_t, best_u, best_v, best_p, gmax))
+
+    found = best_p >= 0.0
+    out_ref[0, 0] = best_t
+    out_ref[0, 1] = best_u
+    out_ref[0, 2] = best_v
+    out_ref[0, 3] = best_p
+    out_ref[0, 4] = jnp.where(found, 1.0, 0.0)
+    out_ref[0, 5] = zero
+    out_ref[0, 6] = zero
+    out_ref[0, 7] = zero
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def dense_trace_v5(packed_tris, node_aabb, node_meta, org, direction,
+                   min_t, max_t, any_hit=False, interpret=False):
+    """Same contract as dense.dense_trace (t, u, v, prim in slot order)."""
+    n = org.shape[0]
+    n_pad = (n + GROUP - 1) // GROUP * GROUP
+    pad = n_pad - n
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), min_t.dtype)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0, max_t.dtype)])
+    max_t = jnp.minimum(max_t, INF)
+
+    G = n_pad // GROUP
+    rays = jnp.stack([org[:, 0], org[:, 1], org[:, 2], direction[:, 0],
+                      direction[:, 1], direction[:, 2], min_t, max_t])
+    rays = rays.reshape(8, G, 8, 128).transpose(1, 0, 2, 3)  # [G, 8, 8, 128]
+
+    out = pl.pallas_call(
+        functools.partial(_trace_kernel, any_hit=any_hit, cluster=CLUSTER),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 8, 128), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed_tris.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(node_aabb.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(node_meta.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 8, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 8, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.SMEM((STACK,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, packed_tris, node_aabb, node_meta)
+
+    out = out.transpose(1, 0, 2, 3).reshape(8, n_pad)
+    hit = out[4, :n] > 0.0
+    return {
+        "t": jnp.where(hit, out[0, :n], INF),
+        "u": out[1, :n],
+        "v": out[2, :n],
+        "prim": jnp.where(hit, out[3, :n].astype(jnp.int32), -1),
+    }

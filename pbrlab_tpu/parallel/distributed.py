@@ -93,15 +93,13 @@ def _render_global(scene, lanes, width, height, spp, mesh, seed,
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(AXIS)),
              out_specs=P(AXIS))
     def passes(scene_rep, lane_slice):
-        def body(acc, sample_id):
-            c = render_lanes(scene_rep, width, height, sample_id, seed,
-                             max_steps, lane_slice, k_volume=k_volume)
-            return acc + c, None
+        # same persistent-lane refill body as single-chip render(): the
+        # multi-host image stays bit-identical to the local one
+        from ..render.integrator import render_lanes_wavefront
 
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((lane_slice.shape[0], 3), jnp.float32),
-            jnp.arange(spp, dtype=jnp.uint32))
-        return acc
+        return render_lanes_wavefront(scene_rep, width, height, spp, seed,
+                                      max_steps, lane_slice,
+                                      k_volume=k_volume)
 
     return passes(scene, lanes) / spp
 

@@ -35,7 +35,7 @@ def shard_map(fn=None, **kw):
         return lambda f: _shard_map_fn(f, **kw)
     return _shard_map_fn(fn, **kw)
 
-from ..render.integrator import render_lanes
+from ..render.integrator import render_lanes, render_lanes_wavefront
 
 AXIS = "shard"
 
@@ -63,15 +63,10 @@ def render_sharded(scene: Dict, width: int, height: int, spp: int,
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(AXIS)), out_specs=P(AXIS))
     def one_pass_sharded(scene_rep, lane_slice):
-        def body(acc, sample_id):
-            c = render_lanes(scene_rep, width, height, sample_id, seed,
-                             max_steps, lane_slice)
-            return acc + c, None
-
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((lane_slice.shape[0], 3), jnp.float32),
-            jnp.arange(spp, dtype=jnp.uint32))
-        return acc
+        # persistent-lane refill wavefront per shard: the same loop body
+        # as single-chip render() so sharded output stays bit-identical
+        return render_lanes_wavefront(scene_rep, width, height, spp, seed,
+                                      max_steps, lane_slice)
 
     acc = one_pass_sharded(scene, lanes)
     return acc[:n].reshape(height, width, 3) / spp

@@ -39,7 +39,6 @@ from ..core.sampling import power_heuristic_weight, uniform_sample_sphere
 from ..ops.intersect import has_curves, occluded_scene, trace_scene
 from ..scene.lights import implicit_area_light, sample_all_light
 from ..scene.materials import KIND_HAIR, KIND_PRINCIPLED
-from ..scene.textures import fetch_float3
 from ..shading import principled
 from ..shading.principled import PrincipledBsdf
 from ..shading.sss import sample_scatter_distance, scattering_coefficients
@@ -70,20 +69,22 @@ class PathState(NamedTuple):
     sss_tp: jnp.ndarray  # [N,3] walk throughput
     sss_instance: jnp.ndarray  # [N] entry instance id
     lane: jnp.ndarray  # [N] original lane slot (for image assembly)
+    sample: jnp.ndarray  # [N] job cursor (persistent-lane refill)
+    depth: jnp.ndarray  # [N] full steps taken for the current sample
 
 
-def _signature_words(scene, state: PathState):
-    """Exact cluster-hit signature per lane, folded into 4 uint32 words.
+def _signature_word(scene, state: PathState):
+    """Coarse BVH-subtree-hit signature per lane, ONE uint32.
 
-    Lanes with identical words can hit exactly the same v4 trace clusters,
-    so sorting by them makes per-group survivor unions tight (measured on
-    incoherent rays: 502 tri slots/ray vs 1375 for the old cell+octant
-    key). Cost is ~20 VPU ops per (lane, cluster) — negligible next to the
-    trace. Clusters beyond 128 alias (c % 128): grouping degrades
-    gracefully, correctness is unaffected.
+    Bit i is set iff the ray's slab test can hit subtree i of the
+    commit-time BFS cut (scene.sig_aabb, <= 29 subtrees). Lanes with
+    lex-adjacent words share coarse traversal prefixes, so sorting by the
+    word keeps per-group survivor unions tight for the trace kernels.
+    Cost is ~20 VPU ops per (lane, subtree) — ~4x cheaper than the old
+    exact 122-cluster signature, and the single word makes the compaction
+    sort one-key instead of a 5-key lexsort.
     """
-    aabb = scene["dense_cluster_aabb_v4"]
-    M = aabb.shape[1]
+    aabb = scene["sig_aabb"]
     inv = 1.0 / jnp.where(jnp.abs(state.direction) < 1e-12,
                           jnp.where(state.direction < 0.0, -1e-12, 1e-12),
                           state.direction)
@@ -101,18 +102,9 @@ def _signature_words(scene, state: PathState):
                         state.min_t[:, None])
     tfar = jnp.minimum(jnp.minimum(f0, f1), f2)
     mask = tnear <= tfar * 1.00000024
-    n = mask.shape[0]
-    # fold clusters >= 128 onto bit c % 128, then pack 4 uint32 words
-    Mpad = (M + 127) // 128 * 128
-    folded = jnp.pad(mask, ((0, 0), (0, Mpad - M))).reshape(
-        n, Mpad // 128, 128).any(axis=1)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None]
-    words = [
-        (folded[:, w * 32:(w + 1) * 32].astype(jnp.uint32)
-         * weights).sum(axis=1, dtype=jnp.uint32)
-        for w in range(4)
-    ]
-    return words
+    k = aabb.shape[1]
+    weights = (jnp.uint32(1) << jnp.arange(k, dtype=jnp.uint32))[None]
+    return (mask.astype(jnp.uint32) * weights).sum(axis=1, dtype=jnp.uint32)
 
 
 def compact_state(state: PathState, scene) -> PathState:
@@ -126,10 +118,16 @@ def compact_state(state: PathState, scene) -> PathState:
     bit-identical under any permutation; the state rides through ONE
     fat-row gather.
     """
-    w0, w1, w2, w3 = _signature_words(scene, state)
+    import os
+
+    if os.environ.get("PBRLAB_COMPACT_KEY", "signature") == "signature":
+        sig = _signature_word(scene, state)
+    else:  # "none": dead/mode packing only (ablation knob)
+        sig = jnp.zeros_like(state.rng)
     primary = (jnp.where(state.alive, 0, 2)
                + state.mode).astype(jnp.uint32)
-    perm = jnp.lexsort((w3, w2, w1, w0, primary))
+    key = (primary << jnp.uint32(29)) | sig
+    perm = jnp.argsort(key)
 
     # pack -> one gather -> unpack (thin per-field gathers cost ~15x more)
     from jax import lax
@@ -145,6 +143,8 @@ def compact_state(state: PathState, scene) -> PathState:
         state.sss_sigma_t, state.sss_sigma_s, state.sss_tp,
         state.sss_instance.astype(f32)[:, None],
         state.lane.astype(f32)[:, None],
+        state.sample.astype(f32)[:, None],
+        state.depth.astype(f32)[:, None],
     ]
     packed = jnp.concatenate(cols, axis=1)[perm]
     i = [0]
@@ -162,7 +162,9 @@ def compact_state(state: PathState, scene) -> PathState:
         mode=take(1).astype(jnp.int32), vol_first=take(1) > 0.5,
         sss_sigma_t=take(3), sss_sigma_s=take(3), sss_tp=take(3),
         sss_instance=take(1).astype(jnp.int32),
-        lane=take(1).astype(jnp.int32))
+        lane=take(1).astype(jnp.int32),
+        sample=take(1).astype(jnp.int32),
+        depth=take(1).astype(jnp.int32))
 
 
 def _classify(direction, ng, ns):
@@ -195,26 +197,36 @@ def _surface_attribs(frow, u, v):
 
 
 def _gather_material(scene, mat_id):
+    from ..core.math import small_table_fetch
     from ..scene.materials import unpack_material_rows
 
-    idx = jnp.maximum(mat_id, 0)
-    return unpack_material_rows(scene["mat_fat"][idx])
+    idx = jnp.clip(mat_id, 0, scene["mat_fat"].shape[0] - 1)
+    return unpack_material_rows(small_table_fetch(scene["mat_fat"], idx))
 
 
 def _fetch_colors(scene, mat, uv):
     """base_color / subsurface_color with optional texture fetch
-    (cycles-principled-shader.cc:281-301)."""
-    atlas = scene["texture_atlas"]
+    (cycles-principled-shader.cc:281-301).
+
+    Statically skipped for texture-free scenes (the dummy [1,1,1,3]
+    atlas): per-lane gathers are the wavefront's main fixed cost (~2 ms
+    per 262k lanes), so 8 corner fetches of a dummy atlas are real money.
+    Textured scenes use the quad-texel atlas: ONE gather per fetch."""
+    if "texture_quad" not in scene:
+        return mat["base_color"], mat["subsurface_color"]
+    from ..scene.textures import fetch_float3_quad
+
+    quad = scene["texture_quad"]
     sizes = scene["texture_sizes"]
     bid = mat["base_color_tex_id"]
     base = jnp.where(
         (bid >= 0)[..., None],
-        fetch_float3(atlas, sizes, bid, uv[..., 0], uv[..., 1]),
+        fetch_float3_quad(quad, sizes, bid, uv[..., 0], uv[..., 1]),
         mat["base_color"])
     sid = mat["subsurface_color_tex_id"]
     sub = jnp.where(
         (sid >= 0)[..., None],
-        fetch_float3(atlas, sizes, sid, uv[..., 0], uv[..., 1]),
+        fetch_float3_quad(quad, sizes, sid, uv[..., 0], uv[..., 1]),
         mat["subsurface_color"])
     return base, sub
 
@@ -391,11 +403,13 @@ def wavefront_step(scene, state: PathState, depth: int,
     s_dead_amb = s_alive & (face_dir == AMBIGUOUS)
     shade_mask = s_shade | is_exit
 
+    # material id rides the fat row (col 20) — no extra per-lane gather
+    tri_mat_id = frow[:, 20].astype(jnp.int32)
     if has_curves(scene):
         mat_id = jnp.where(is_curve, scene["curve_material"][safe_seg],
-                           scene["face_material"][safe_prim])
+                           tri_mat_id)
     else:
-        mat_id = scene["face_material"][safe_prim]
+        mat_id = tri_mat_id
     mat = _gather_material(scene, mat_id)
     hair_lane = is_curve & (mat["kind"] == KIND_HAIR) & s_shade
 
@@ -518,6 +532,8 @@ def wavefront_step(scene, state: PathState, depth: int,
                                    state.sss_tp)),
         sss_instance=jnp.where(entry_ok, hit_instance, state.sss_instance),
         lane=state.lane,
+        sample=state.sample,
+        depth=state.depth,
     )
     if freeze_surface:
         # surface lanes (incl. their RNG stream) pass through untouched;
@@ -551,7 +567,9 @@ def init_state(scene, width: int, height: int, sample_id, seed,
         sss_sigma_s=jnp.ones((n, 3), jnp.float32),
         sss_tp=jnp.ones((n, 3), jnp.float32),
         sss_instance=jnp.full((n,), -1, jnp.int32),
-        lane=jnp.arange(n, dtype=jnp.int32))
+        lane=jnp.arange(n, dtype=jnp.int32),
+        sample=jnp.zeros((n,), jnp.int32),
+        depth=jnp.zeros((n,), jnp.int32))
 
 
 def render_lanes(scene, width: int, height: int, sample_id, seed=0,
@@ -605,6 +623,136 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
     return contribution
 
 
+def render_lanes_wavefront(scene, width: int, height: int, spp: int,
+                           seed=0, max_steps: int = 32, lane=None,
+                           sort_every: int = 2, k_volume: int = 0,
+                           pixels_per_lane: int | None = None):
+    """Full-occupancy forward render: persistent lanes + job refill.
+
+    The reference keeps its threads busy by handing each one tile x sample
+    jobs from an atomic counter (/root/reference/src/render.cc:203-222).
+    The wavefront analogue: each lane owns K = pixels_per_lane STRIDED
+    pixels (lane L -> pixels L, L+n_lanes, ...) and walks their spp
+    samples in a fixed job order; the moment a path dies the lane refills
+    with the next job, so the trace kernels and shading stages run at
+    ~100% occupancy, and striding averages heavy pixels (deep SSS paths)
+    against light ones — a lane's total work is a K*spp-job mean, which
+    kills the worst-pixel tail that per-pixel ownership would serialize.
+    The whole render is ONE lax.while_loop that ends when every lane
+    exhausts its jobs.
+
+    Deterministic at any FIXED K / lane permutation / sharding layout:
+    each pixel's samples are processed by exactly one lane in increasing-
+    sample order and flushed into the framebuffer one completed sample at
+    a time — the same float addition order as the spp scan. (Changing K —
+    or comparing against render_scan — can move bits by ~1 ulp because
+    XLA fuses differently-shaped programs differently, the same variance
+    as scan-vs-unrolled; the per-path math is identical.)
+
+    Forward-only (while_loop is not reverse-differentiable; gradients use
+    render_lanes). Returns summed radiance [n_pixels, 3] (divide by spp
+    for the mean).
+    """
+    import os
+
+    from ..scene.scene import build_fat_tables
+
+    if "face_fat" not in scene:
+        scene = build_fat_tables(scene)
+    pixel_ids = lane
+    n = width * height if lane is None else lane.shape[0]
+    if pixels_per_lane is None:
+        pixels_per_lane = int(os.environ.get(
+            "PBRLAB_PPL", max(1, min(16, n // 65536))))
+    k = pixels_per_lane
+    n_lanes = (n + k - 1) // k
+    n_jobs = k * spp
+
+    init_pix = jnp.arange(n_lanes, dtype=jnp.int32)
+    if pixel_ids is not None:
+        init_pix = pixel_ids[init_pix]
+    state = init_state(scene, width, height, jnp.uint32(0), seed, init_pix)
+
+    def cur_pixel_local(state):
+        return state.lane + (state.sample // spp) * n_lanes
+
+    def refill(state, fb):
+        """Flush dead lanes' finished samples; start their next job."""
+        j = state.sample
+        p_cur = cur_pixel_local(state)
+        flush = ~state.alive
+        contrib = jnp.where(
+            flush[..., None] & jnp.isfinite(state.contribution),
+            state.contribution, 0.0)
+        fb = fb.at[jnp.minimum(p_cur, n - 1)].add(contrib)
+        contribution = jnp.where(flush[..., None], 0.0, state.contribution)
+
+        jn = j + 1
+        p_nxt = state.lane + (jn // spp) * n_lanes
+        need = flush & (jn < n_jobs) & (p_nxt < n)
+        j2 = jnp.where(need, jn, j)
+        p_loc = jnp.where(need, p_nxt, p_cur)
+        pixel = p_loc if pixel_ids is None else pixel_ids[
+            jnp.minimum(p_loc, n - 1)]
+        s = (j2 % spp).astype(jnp.uint32)
+        rng0 = prng.seed_state(pixel.astype(jnp.uint32), s, seed)
+        rng0, (u1, u2) = prng.draw_n(rng0, 2)
+        org0, dir0 = generate_rays(scene, width, height, u1, u2, pixel)
+        nd = need[..., None]
+        return state._replace(
+            org=jnp.where(nd, org0, state.org),
+            direction=jnp.where(nd, dir0, state.direction),
+            min_t=jnp.where(need, 0.0, state.min_t),
+            throughput=jnp.where(nd, 1.0, state.throughput),
+            bsdf_pdf=jnp.where(need, 0.0, state.bsdf_pdf),
+            rng=jnp.where(need, rng0, state.rng),
+            alive=state.alive | need,
+            first=state.first | need,
+            mode=jnp.where(need, MODE_SURFACE, state.mode),
+            vol_first=state.vol_first & ~need,
+            sample=j2,
+            depth=jnp.where(need, 0, state.depth).astype(jnp.int32),
+            contribution=contribution,
+        ), fb
+
+    def cond(carry):
+        state, fb, it = carry
+        jn = state.sample + 1
+        more = (jn < n_jobs) & (state.lane + (jn // spp) * n_lanes < n)
+        return jnp.any(state.alive | more) & (it < n_jobs * max_steps)
+
+    def body(carry):
+        state, fb, it = carry
+        state, fb = refill(state, fb)
+        stepped = state.alive
+        state = wavefront_step(scene, state, 0)
+        if k_volume:
+            def vol_substeps(st):
+                for _ in range(k_volume):
+                    st = wavefront_step(scene, st, 0, freeze_surface=True)
+                return st
+
+            any_vol = jnp.any(state.alive & (state.mode == MODE_VOLUME))
+            state = lax.cond(any_vol, vol_substeps, lambda st: st, state)
+        # per-sample step budget (the spp scan runs exactly max_steps)
+        depth = jnp.where(stepped, state.depth + 1, state.depth)
+        state = state._replace(
+            depth=depth, alive=state.alive & (depth < max_steps))
+        if sort_every:
+            state = lax.cond(
+                (it + 1) % sort_every == 0,
+                lambda st: compact_state(st, scene),
+                lambda st: st, state)
+        return state, fb, it + 1
+
+    fb0 = jnp.zeros((n, 3), jnp.float32)
+    state, fb, _ = lax.while_loop(cond, body, (state, fb0, jnp.int32(0)))
+    # final flush: the last job of each lane dies with the loop
+    contrib = jnp.where(jnp.isfinite(state.contribution),
+                        state.contribution, 0.0)
+    return fb.at[jnp.minimum(cur_pixel_local(state), n - 1)].add(contrib)
+
+
 def scene_has_sss(scene) -> bool:
     """Host-side static check: any material with subsurface weight > 0
     (used to enable k_volume substeps only where they can matter)."""
@@ -626,11 +774,20 @@ def render_sample(scene, width: int, height: int, sample_id, seed=0,
                                    "k_volume"))
 def render(scene, width: int, height: int, spp: int, seed=0,
            max_steps: int = 32, k_volume: int = 0):
-    """Progressive accumulation of spp samples -> mean radiance [H, W, 3].
+    """spp-sample mean radiance [H, W, 3] via the persistent-lane
+    wavefront (full occupancy; bit-identical to render_scan)."""
+    total = render_lanes_wavefront(scene, width, height, spp, seed,
+                                   max_steps, k_volume=k_volume)
+    return total.reshape(height, width, 3) / spp
 
-    The reference accumulates rgba/count per pass (render-layer.h:11-26);
-    here each pass is an independent wavefront launch folded in a scan.
-    """
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_steps",
+                                   "k_volume"))
+def render_scan(scene, width: int, height: int, spp: int, seed=0,
+                max_steps: int = 32, k_volume: int = 0):
+    """Progressive accumulation of spp independent wavefront launches
+    (the reference's pass loop, render-layer.h:11-26). Differentiable;
+    render() is the faster forward-only equivalent."""
     def body(acc, sample_id):
         img = render_sample(scene, width, height, sample_id, seed, max_steps,
                             k_volume)

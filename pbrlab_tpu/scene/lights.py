@@ -39,8 +39,11 @@ def sample_all_light(scene: Dict, u0, u1, u2) -> SampledLight:
     idx = sample_cdf(cdf, u0)
     u, v = triangle_uniform_sample(u1, u2)
     if "light_fat" in scene:
-        # one fat-row gather: v0 e1 e2 ng emission pdf (build_fat_tables)
-        row = scene["light_fat"][idx]
+        # one fat-row fetch: v0 e1 e2 ng emission pdf (build_fat_tables);
+        # select-sum instead of gather for few-light scenes
+        from ..core.math import small_table_fetch
+
+        row = small_table_fetch(scene["light_fat"], idx)
         v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
         normal = row[:, 9:12]
         emission = row[:, 12:15]

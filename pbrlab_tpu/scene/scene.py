@@ -260,6 +260,39 @@ class SceneBuilder:
         return scene
 
 
+def _signature_cut(node_aabb: np.ndarray, node_meta: np.ndarray,
+                   max_nodes: int = 29) -> np.ndarray:
+    """BFS cut of the trace BVH: <= max_nodes subtree AABBs [6, K].
+
+    The integrator's ray-compaction key is the bitmask "which of these
+    subtrees can the ray hit" — hierarchical (lex-adjacent rays share
+    coarse traversal prefixes), one uint32, and ~4x cheaper to compute
+    than the full leaf-cluster signature. Padding columns are empty boxes
+    (lo=+inf) that never set a bit.
+    """
+    right = node_meta[0]
+    # expand the largest-surface node first until the cut is full
+    cut = [0]
+    while True:
+        areas = []
+        for i, n in enumerate(cut):
+            if right[n] < 0:
+                areas.append(-1.0)  # leaf: cannot expand
+            else:
+                d = np.maximum(node_aabb[3:6, n] - node_aabb[0:3, n], 0.0)
+                areas.append(float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0]))
+        j = int(np.argmax(areas))
+        if areas[j] < 0.0 or len(cut) + 1 > max_nodes:
+            break
+        n = cut.pop(j)
+        cut = [n + 1, int(right[n])] + cut
+    out = np.full((6, max_nodes), np.inf, np.float32)
+    out[3:6, :] = -np.inf
+    for i, n in enumerate(sorted(cut)):
+        out[:, i] = node_aabb[:, n]
+    return out
+
+
 def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Build acceleration structures (reference Scene::CommitScene +
     eager Embree BVH builds, scene.cc:96-104 / raytracer_impl.cc:49-152).
@@ -269,15 +302,17 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     from ..geometry.bvh import build_bvh, triangle_bounds
     from ..ops.curves import flatten_curves, subsegment_bounds
     from ..ops.pallas.dense import pack_triangles
-    from ..ops.pallas.dense_v4 import pack_triangles_sah
+    from ..ops.pallas.dense_v5 import build_v5
 
     scene = dict(scene)
 
-    # The V4 kernel's SAH slot layout is the CANONICAL face order: every
-    # per-face column is scattered into the padded slot array (S = M *
-    # CLUSTER slots, padding rows zero), so the kernel's slot ids ARE the
-    # scene face ids with no remap gather in the hot loop.
-    packed4, cluster_aabb4, order = pack_triangles_sah(
+    # The SAH slot layout is the CANONICAL face order: every per-face
+    # column is scattered into the padded slot array (S = M * CLUSTER
+    # slots, padding rows zero), so the kernel's slot ids ARE the scene
+    # face ids with no remap gather in the hot loop. ONE leaf-32 SAH
+    # build feeds both the V5 packet-traversal kernel (node arrays) and
+    # the V4 survivor-list kernel (leaf AABBs as flat clusters).
+    packed4, cluster_aabb4, order, node_aabb5, node_meta5 = build_v5(
         scene["tri_v0"], scene["tri_e1"], scene["tri_e2"])
     F = scene["tri_v0"].shape[0]
     S = order.shape[0]
@@ -299,6 +334,9 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             scene["emissive_faces"] = inv[scene["emissive_faces"]]
     scene["dense_tris_v4"] = packed4
     scene["dense_cluster_aabb_v4"] = cluster_aabb4
+    scene["v5_node_aabb"] = node_aabb5
+    scene["v5_node_meta"] = node_meta5
+    scene["sig_aabb"] = _signature_cut(node_aabb5, node_meta5, max_nodes=29)
 
     # V2/V3 Morton packing runs on the VALID slots only (padding rows are
     # degenerate); their sorted prim ids map back to slot ids through
@@ -408,6 +446,15 @@ def build_fat_tables(scene: Dict) -> Dict:
         scene["light_fat"] = jnp.zeros((0, 16), f32)
 
     scene["mat_fat"] = pack_material_fat(scene["materials"])
+
+    # quad-texel atlas: one gather per bilinear fetch (textures.py). The
+    # all-dummy atlas (shape [1,1,1,3], scene.build with no textures) is
+    # skipped statically — _fetch_colors then skips the fetch entirely.
+    if scene["texture_atlas"].shape[:3] != (1, 1, 1):
+        from .textures import build_quad_atlas
+
+        scene["texture_quad"] = build_quad_atlas(scene["texture_atlas"],
+                                                 scene["texture_sizes"])
     return scene
 
 

@@ -428,10 +428,11 @@ def render_oracle_hair(scene_np, width, height, spp, seed=0, max_bounces=6):
                            np.einsum("nk,nk->n", wo_g, ez)], axis=-1)
 
             mat_id = s["curve_material"][np.maximum(sub, 0)]
-            m = {k: mats[k][mat_id] if mats[k].ndim == 1
-                 else mats[k][mat_id] for k in
+            # hair tints are RGB columns (material-param.h:65-67:
+            # specular_tint / second_specular_tint / transmission_tint)
+            m = {k: mats[k][mat_id] for k in
                  ("base_color", "roughness", "azimuthal_roughness", "ior",
-                  "shift", "specular_tint", "transmission_tint",
+                  "shift", "hair_specular_tint", "transmission_tint",
                   "second_specular_tint")}
             b = HairBsdfO({k: (v.T if v.ndim == 2 else v) for k, v in
                            (("base_color", m["base_color"]),
@@ -439,14 +440,14 @@ def render_oracle_hair(scene_np, width, height, spp, seed=0, max_bounces=6):
                              m["azimuthal_roughness"]),
                             ("roughness", m["roughness"]), ("ior", m["ior"]),
                             ("shift", m["shift"]),
-                            ("specular_tint", m["specular_tint"]),
+                            ("specular_tint", m["hair_specular_tint"]),
                             ("transmission_tint", m["transmission_tint"]),
                             ("second_specular_tint",
                              m["second_specular_tint"]))}, vsig)
             # fix shapes: colors are [N,3]
             b.sigma_a = sigma_a_from_rgb(m["base_color"],
                                          m["azimuthal_roughness"][..., None])
-            b.tints = [m["specular_tint"], m["transmission_tint"],
+            b.tints = [m["hair_specular_tint"], m["transmission_tint"],
                        m["second_specular_tint"], np.ones((n, 3))]
 
             # ---- NEE (hemisphere=false, f/|wl.x|) ----

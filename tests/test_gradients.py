@@ -29,12 +29,31 @@ def _fd_check(loss, x0=1.0, eps=2e-2, rtol=5e-2):
 
 
 @pytest.fixture(scope="module")
-def pbr_scene():
-    scene_np, _ = build_demo_scene(subdiv=1)
-    return scene_to_device(scene_np)
+def glossy_scene():
+    """Glossy floor under an area light: every camera path shades a
+    surface whose radiance depends smoothly on roughness/specular (the
+    demo walls have specular=0, which made these probes degenerate)."""
+    from pbrlab_tpu.geometry.mesh import TriangleMesh
+
+    b = SceneBuilder()
+    mat = b.materials.add_principled("floor", base_color=(0.8, 0.6, 0.4),
+                                     specular=0.8, roughness=0.4)
+    lmat = b.materials.add_principled("light", base_color=(0.0, 0.0, 0.0))
+
+    def quad(y, s, m):
+        verts = np.asarray([[-s, y, -s], [s, y, -s], [s, y, s], [-s, y, s]],
+                           np.float32)
+        faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+        return TriangleMesh(verts, faces,
+                            material_ids=np.full((2,), m, np.int32))
+
+    lid = b.add_area_light_param((6.0, 6.0, 6.0))
+    b.add_instance([quad(0.0, 1.0, mat), quad(1.5, 0.5, lmat)],
+                   light_ids=[None, np.full((2,), lid, np.int32)])
+    return scene_to_device(commit(b.build()))
 
 
-def _mat_scale_loss(scene_dev, key, spp=2):
+def _mat_scale_loss(scene_dev, key, spp=2, max_steps=4):
     def loss(scale):
         s = dict(scene_dev)
         m = dict(s["materials"])
@@ -43,22 +62,22 @@ def _mat_scale_loss(scene_dev, key, spp=2):
         acc = 0.0
         for sid in range(spp):
             acc = acc + jnp.sum(render_sample(s, 8, 8, jnp.uint32(sid),
-                                              max_steps=6))
+                                              max_steps=max_steps))
         return acc / spp
 
     return loss
 
 
-def test_roughness_gradient_matches_fd(pbr_scene):
+def test_roughness_gradient_matches_fd(glossy_scene):
     """Roughness -> GGX alpha (cycles-principled-shader.cc:382-386) is a
     smooth nonlinear path through D/G and the selection weights."""
-    _fd_check(_mat_scale_loss(pbr_scene, "roughness"))
+    _fd_check(_mat_scale_loss(glossy_scene, "roughness"))
 
 
-def test_specular_gradient_matches_fd(pbr_scene):
+def test_specular_gradient_matches_fd(glossy_scene):
     """Specular -> ior + specular_color (cycles-principled-shader.cc:380,
     388-393) feeds Fresnel-weighted closure selection."""
-    _fd_check(_mat_scale_loss(pbr_scene, "specular"))
+    _fd_check(_mat_scale_loss(glossy_scene, "specular"))
 
 
 def test_subsurface_radius_gradient_matches_fd():
