@@ -221,12 +221,20 @@ def _tri_backend(scene) -> str:
     import os
 
     mode = os.environ.get("PBRLAB_TRACE_BACKEND", "auto")
-    if mode in ("dense", "dense2", "dense3", "dense4", "dense5", "bvh"):
+    if mode in ("dense", "dense2", "dense3", "dense4", "dense5", "dense5l",
+                "dense5i", "bvh"):
         return "dense" if mode == "dense2" else mode
+    if "i5_tris" in scene:
+        # instanced scenes have no baked world-space arrays: the two-level
+        # kernel is the only triangle backend (interpreted on CPU)
+        return "dense5i"
     if "v5_node_aabb" in scene and jax.default_backend() != "cpu":
         # v4's flat XLA cull is O(N_rays x M_clusters) — fastest while M
         # is small (measured +6% over v5 on the 122-cluster cornellbox);
-        # the v5 packet traversal scales O(log M) and takes over beyond
+        # the v5 packet traversal scales O(log M) and takes over beyond;
+        # past the SMEM triangle budget the leaf-DMA variant takes over
+        if "dense_tris_v5l" in scene:
+            return "dense5l"
         if scene["dense_cluster_aabb_v4"].shape[1] <= 256:
             return "dense4"
         return "dense5"
@@ -249,6 +257,20 @@ def _remap_legacy_prim(scene, res):
 
 def _closest_tri(scene, org, direction, min_t, max_t):
     backend = _tri_backend(scene)
+    if backend == "dense5i":
+        from .pallas.dense_v5i import dense_trace_v5i
+
+        return dense_trace_v5i(
+            scene["i5_tris"], scene["i5_node_aabb"], scene["i5_node_meta"],
+            scene["i5_inst_inv"], scene["i5_inst_meta"],
+            org, direction, min_t, max_t,
+            interpret=jax.default_backend() == "cpu")
+    if backend == "dense5l":
+        from .pallas.dense_v5 import dense_trace_v5l
+
+        return dense_trace_v5l(scene["dense_tris_v5l"],
+                               scene["v5_node_aabb"], scene["v5_node_meta"],
+                               org, direction, min_t, max_t)
     if backend == "dense5":
         from .pallas.dense_v5 import dense_trace_v5
 
@@ -278,6 +300,22 @@ def _closest_tri(scene, org, direction, min_t, max_t):
 
 def _occluded_tri(scene, org, direction, min_t, max_t):
     backend = _tri_backend(scene)
+    if backend == "dense5i":
+        from .pallas.dense_v5i import dense_trace_v5i
+
+        res = dense_trace_v5i(
+            scene["i5_tris"], scene["i5_node_aabb"], scene["i5_node_meta"],
+            scene["i5_inst_inv"], scene["i5_inst_meta"],
+            org, direction, min_t, max_t, any_hit=True,
+            interpret=jax.default_backend() == "cpu")
+        return res["prim"] >= 0
+    if backend == "dense5l":
+        from .pallas.dense_v5 import dense_trace_v5l
+
+        res = dense_trace_v5l(scene["dense_tris_v5l"],
+                              scene["v5_node_aabb"], scene["v5_node_meta"],
+                              org, direction, min_t, max_t, any_hit=True)
+        return res["prim"] >= 0
     if backend == "dense5":
         from .pallas.dense_v5 import dense_trace_v5
 

@@ -352,3 +352,291 @@ def dense_trace_v5(packed_tris, node_aabb, node_meta, org, direction,
         "v": out[2, :n],
         "prim": jnp.where(hit, out[3, :n].astype(jnp.int32), -1),
     }
+
+
+# ---------------------------------------------------------------------------
+# V5L: large-scene variant. The v5e SMEM budget is 1 MB; the SMEM-resident
+# triangle table caps out around ~20k slots (measured: 58k slots -> Mosaic
+# "would exceed memory (size=1048576)"). V5L keeps triangles in HBM as
+# leaf-contiguous [M, 12, CLUSTER] blocks and DMAs each visited leaf into a
+# double-buffered SMEM scratch: the DMA for leaf k+1 is issued before leaf
+# k's 32-triangle scalar loop runs, so HBM latency hides behind compute.
+# Node AABBs/meta stay SMEM-resident (~68 B/node -> ceiling ~400k tris;
+# past that the node arrays would need the same treatment).
+# ---------------------------------------------------------------------------
+
+
+def leaf_major(packed: np.ndarray, cluster: int = CLUSTER) -> np.ndarray:
+    """[12, S] attr-major -> [M, 3, 128] leaf-major: one contiguous 1.5 KB
+    DMA per leaf, viewed as 3 rows of 128 lanes because Mosaic requires
+    DMA slices to be 128-aligned in the lane dimension (12 * 32 = 384 =
+    3 * 128 exactly). Element (attr a, tri k) of leaf m lives at flat
+    index a * cluster + k."""
+    assert 12 * cluster % 128 == 0
+    s = packed.shape[1]
+    m = s // cluster
+    return np.ascontiguousarray(
+        packed.reshape(12, m, cluster).transpose(1, 0, 2)).reshape(
+            m, 12 * cluster // 128, 128)
+
+
+def _trace_kernel_dma(ray_ref, tri_hbm, naabb_ref, nmeta_ref, out_ref,
+                      leaf_buf, sem, stk_id, stk_tn, *, any_hit, cluster):
+    """V5 packet traversal with leaf-DMA double buffering.
+
+    tri_hbm [M, 3, 128] (ANY; leaf_major layout). leaf_buf [2, 3, 128]
+    SMEM scratch; sem: 2 DMA semaphores. Other refs as _trace_kernel.
+    """
+    ox = ray_ref[0, 0]
+    oy = ray_ref[0, 1]
+    oz = ray_ref[0, 2]
+    dx = ray_ref[0, 3]
+    dy = ray_ref[0, 4]
+    dz = ray_ref[0, 5]
+    mint = ray_ref[0, 6]
+    maxt = ray_ref[0, 7]
+
+    eps = jnp.float32(1e-12)
+    idx = 1.0 / jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
+    idy = 1.0 / jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
+    idz = 1.0 / jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
+    oxx = ox * idx
+    oyy = oy * idy
+    ozz = oz * idz
+
+    best_t = maxt
+    zero = jnp.zeros_like(ox)
+    best_u = zero
+    best_v = zero
+    best_p = zero - 1.0
+
+    gmax = jnp.max(best_t)
+    stk_id[0] = jnp.int32(0)
+    stk_tn[0] = jnp.float32(-1e30)
+    sp0 = jnp.where(gmax >= 0.0, jnp.int32(1), jnp.int32(0))
+
+    slop = jnp.float32(1.00000024)
+    big = jnp.float32(_BIG)
+
+    def slab(node, best_t):
+        t0 = naabb_ref[0, node] * idx - oxx
+        t1 = naabb_ref[3, node] * idx - oxx
+        nx = jnp.minimum(t0, t1)
+        fx = jnp.maximum(t0, t1)
+        t0 = naabb_ref[1, node] * idy - oyy
+        t1 = naabb_ref[4, node] * idy - oyy
+        ny = jnp.minimum(t0, t1)
+        fy = jnp.maximum(t0, t1)
+        t0 = naabb_ref[2, node] * idz - ozz
+        t1 = naabb_ref[5, node] * idz - ozz
+        nz = jnp.minimum(t0, t1)
+        fz = jnp.maximum(t0, t1)
+        tnear = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, mint))
+        tfar = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, best_t))
+        return jnp.min(jnp.where(tnear <= tfar * slop, tnear, big))
+
+    def start_dma(slot, leaf):
+        pltpu.make_async_copy(tri_hbm.at[leaf], leaf_buf.at[slot],
+                              sem.at[slot]).start()
+
+    def wait_dma(slot, leaf):
+        pltpu.make_async_copy(tri_hbm.at[leaf], leaf_buf.at[slot],
+                              sem.at[slot]).wait()
+
+    def process(slot, leaf, carry):
+        """Intersect the cluster in leaf_buf[slot] (slot ids = leaf*cluster
+        + k, matching the SAH slot order)."""
+        best_t, best_u, best_v, best_p = carry
+        base = leaf * cluster
+
+        def at(slot, a, k):
+            flat = a * cluster + k  # python ints: resolved statically
+            return leaf_buf[slot, flat // 128, flat % 128]
+
+        for k in range(cluster):
+            nx = at(slot, 0, k)
+            ny = at(slot, 1, k)
+            nz = at(slot, 2, k)
+            k0 = at(slot, 3, k)
+            den = dx * nx + dy * ny + dz * nz
+            num = k0 - (ox * nx + oy * ny + oz * nz)
+            t = num / den
+            b1x = at(slot, 4, k)
+            b1y = at(slot, 5, k)
+            b1z = at(slot, 6, k)
+            c1 = at(slot, 7, k)
+            u = (ox * b1x + oy * b1y + oz * b1z - c1) \
+                + t * (dx * b1x + dy * b1y + dz * b1z)
+            b2x = at(slot, 8, k)
+            b2y = at(slot, 9, k)
+            b2z = at(slot, 10, k)
+            c2 = at(slot, 11, k)
+            v = (ox * b2x + oy * b2y + oz * b2z - c2) \
+                + t * (dx * b2x + dy * b2y + dz * b2z)
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= mint) & (t < best_t))
+            fi = (base + k).astype(jnp.float32)
+            best_u = jnp.where(ok, u, best_u)
+            best_v = jnp.where(ok, v, best_v)
+            best_p = jnp.where(ok, fi, best_p)
+            best_t = jnp.where(ok, t, best_t)
+        return best_t, best_u, best_v, best_p
+
+    # carry: sp, bests, gmax, pending (leaf id, valid, slot)
+    def cond(carry):
+        return carry[0] > 0
+
+    def body(carry):
+        (sp, best_t, best_u, best_v, best_p, gmax,
+         pend_leaf, pend_valid, pend_slot) = carry
+        sp = sp - 1
+        node = stk_id[sp]
+        tn_pop = stk_tn[sp]
+        live = tn_pop * (1.0 - 1e-6) - 1e-6 <= gmax
+
+        def visit(carry):
+            (sp, best_t, best_u, best_v, best_p, gmax,
+             pend_leaf, pend_valid, pend_slot) = carry
+            right = nmeta_ref[0, node]
+
+            def leaf(carry):
+                (sp, best_t, best_u, best_v, best_p, gmax,
+                 pend_leaf, pend_valid, pend_slot) = carry
+                my_leaf = nmeta_ref[1, node] // cluster
+                my_slot = 1 - pend_slot
+                start_dma(my_slot, my_leaf)
+
+                def drain(args):
+                    best_t, best_u, best_v, best_p = args
+                    wait_dma(pend_slot, pend_leaf)
+                    return process(pend_slot, pend_leaf,
+                                   (best_t, best_u, best_v, best_p))
+
+                best_t, best_u, best_v, best_p = jax.lax.cond(
+                    pend_valid, drain, lambda a: a,
+                    (best_t, best_u, best_v, best_p))
+                gmax = jnp.max(best_t)
+                if any_hit:
+                    done = jnp.all((best_p >= 0.0) | (maxt < mint))
+                    sp = jnp.where(done, jnp.int32(0), sp)
+                return (sp, best_t, best_u, best_v, best_p, gmax,
+                        my_leaf, jnp.bool_(True), my_slot)
+
+            def internal(carry):
+                (sp, best_t, best_u, best_v, best_p, gmax,
+                 pend_leaf, pend_valid, pend_slot) = carry
+                left = node + 1
+                tn_l = slab(left, best_t)
+                tn_r = slab(right, best_t)
+                l_far = tn_l > tn_r
+                far_id = jnp.where(l_far, left, right)
+                far_tn = jnp.maximum(tn_l, tn_r)
+                near_id = jnp.where(l_far, right, left)
+                near_tn = jnp.minimum(tn_l, tn_r)
+                hit_far = far_tn < big
+                hit_near = near_tn < big
+
+                @pl.when(hit_far)
+                def _():
+                    stk_id[sp] = far_id
+                    stk_tn[sp] = far_tn
+
+                sp1 = sp + hit_far.astype(jnp.int32)
+
+                @pl.when(hit_near)
+                def _():
+                    stk_id[sp1] = near_id
+                    stk_tn[sp1] = near_tn
+
+                sp2 = sp1 + hit_near.astype(jnp.int32)
+                return (sp2, best_t, best_u, best_v, best_p, gmax,
+                        pend_leaf, pend_valid, pend_slot)
+
+            return jax.lax.cond(right < 0, leaf, internal, carry)
+
+        return jax.lax.cond(
+            live, visit, lambda c: c,
+            (sp, best_t, best_u, best_v, best_p, gmax,
+             pend_leaf, pend_valid, pend_slot))
+
+    carry = jax.lax.while_loop(
+        cond, body, (sp0, best_t, best_u, best_v, best_p, gmax,
+                     jnp.int32(0), jnp.bool_(False), jnp.int32(0)))
+    (_, best_t, best_u, best_v, best_p, _,
+     pend_leaf, pend_valid, pend_slot) = carry
+
+    # drain the last pending leaf
+    def drain(args):
+        best_t, best_u, best_v, best_p = args
+        wait_dma(pend_slot, pend_leaf)
+        return process(pend_slot, pend_leaf,
+                       (best_t, best_u, best_v, best_p))
+
+    best_t, best_u, best_v, best_p = jax.lax.cond(
+        pend_valid, drain, lambda a: a, (best_t, best_u, best_v, best_p))
+
+    found = best_p >= 0.0
+    out_ref[0, 0] = best_t
+    out_ref[0, 1] = best_u
+    out_ref[0, 2] = best_v
+    out_ref[0, 3] = best_p
+    out_ref[0, 4] = jnp.where(found, 1.0, 0.0)
+    out_ref[0, 5] = zero
+    out_ref[0, 6] = zero
+    out_ref[0, 7] = zero
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def dense_trace_v5l(packed_leaf, node_aabb, node_meta, org, direction,
+                    min_t, max_t, any_hit=False, interpret=False):
+    """Large-scene trace: packed_leaf [M, 3, 128] (leaf_major) stays off
+    SMEM. Same contract as dense_trace_v5."""
+    n = org.shape[0]
+    n_pad = (n + GROUP - 1) // GROUP * GROUP
+    pad = n_pad - n
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), min_t.dtype)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0, max_t.dtype)])
+    max_t = jnp.minimum(max_t, INF)
+
+    G = n_pad // GROUP
+    rays = jnp.stack([org[:, 0], org[:, 1], org[:, 2], direction[:, 0],
+                      direction[:, 1], direction[:, 2], min_t, max_t])
+    rays = rays.reshape(8, G, 8, 128).transpose(1, 0, 2, 3)
+
+    out = pl.pallas_call(
+        functools.partial(_trace_kernel_dma, any_hit=any_hit,
+                          cluster=CLUSTER),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 8, 128), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(node_aabb.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(node_meta.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 8, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 8, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((2, 12 * CLUSTER // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.SMEM((STACK,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, packed_leaf, node_aabb, node_meta)
+
+    out = out.transpose(1, 0, 2, 3).reshape(8, n_pad)
+    hit = out[4, :n] > 0.0
+    return {
+        "t": jnp.where(hit, out[0, :n], INF),
+        "u": out[1, :n],
+        "v": out[2, :n],
+        "prim": jnp.where(hit, out[3, :n].astype(jnp.int32), -1),
+    }

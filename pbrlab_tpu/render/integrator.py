@@ -196,6 +196,43 @@ def _surface_attribs(frow, u, v):
     return ng, ns, uv
 
 
+def _fetch_face_fat(scene, safe_prim):
+    """Per-lane face attribute row [N, 26] (layout: build_fat_tables).
+
+    Baked scenes: one gather of face_fat. Instanced scenes
+    (scene.instanced): a narrow per-(instance, face) row + the shared
+    LOCAL fat row, with normals rotated into world space by the
+    instance's normal matrix — K instances never replicate the fat
+    geometric attributes (mesh-instance.h:23-36 id-table semantics)."""
+    if "iface_fat" not in scene:
+        return scene["face_fat"][safe_prim]
+    from ..core.math import small_table_fetch
+
+    irow = scene["iface_fat"][safe_prim]  # mat pdf em3 inst slot pad
+    slot = jnp.clip(irow[:, 6].astype(jnp.int32), 0,
+                    scene["local_fat"].shape[0] - 1)
+    lrow = scene["local_fat"][slot]  # ng3 cns9 uv6 has_ns has_uv
+    inst = jnp.clip(irow[:, 5].astype(jnp.int32), 0,
+                    scene["inst_shade"].shape[0] - 1)
+    sh = small_table_fetch(scene["inst_shade"], inst, max_rows=256)
+    nrm = lax.stop_gradient(sh[:, 12:21]).reshape(-1, 3, 3)
+
+    def rot(v):
+        return jnp.einsum("nij,nj->ni", nrm, v)
+
+    ng = vnormalize(rot(lrow[:, 0:3]))
+    cns = lrow[:, 3:12].reshape(-1, 3, 3)
+    cns_w = jnp.stack([vnormalize(rot(cns[:, i])) for i in range(3)],
+                      axis=1).reshape(-1, 9)
+    # zero local normals (has_ns=0 rows) stay zero through vnormalize's
+    # epsilon guard only approximately; mask exactly
+    cns_w = jnp.where(lrow[:, 18:19] > 0.0, cns_w, 0.0)
+    return jnp.concatenate([
+        ng, cns_w, lrow[:, 12:18], lrow[:, 18:20],
+        irow[:, 0:1], irow[:, 1:2], irow[:, 2:5], irow[:, 5:6],
+    ], axis=1)
+
+
 def _gather_material(scene, mat_id):
     from ..core.math import small_table_fetch
     from ..scene.materials import unpack_material_rows
@@ -304,6 +341,13 @@ def wavefront_step(scene, state: PathState, depth: int,
     min_t = jnp.where(need_new_dir, 0.0, state.min_t)
     t_scatter, channel_pdf = sample_scatter_distance(
         state.sss_tp, state.sss_sigma_s, state.sss_sigma_t, uc, ut)
+    # detached-sample / detached-denominator estimator: with the SAMPLE
+    # value detached, dividing by a LIVE pdf is a biased surrogate (its
+    # expectation picks up -E[f d(log p)]; measured: subsurface_radius
+    # gradients came out with the WRONG SIGN). g / stop_grad(p) is the
+    # exact unbiased surrogate — equal in value, and its derivative is
+    # dg/p, whose expectation telescopes to the true transport derivative.
+    t_scatter = lax.stop_gradient(t_scatter)
     max_t = jnp.where(volume_mode, t_scatter,
                       -1.0 if freeze_surface else INF)
     max_t = jnp.where(state.alive, max_t, -1.0)  # dead lanes: no traversal
@@ -326,7 +370,7 @@ def wavefront_step(scene, state: PathState, depth: int,
     pos = state.org + t_shade[..., None] * direction
     # ONE fat-row gather per lane covers every per-face attribute; the
     # geometric slices are stop-gradiented below, emission stays live
-    frow = scene["face_fat"][safe_prim]
+    frow = _fetch_face_fat(scene, safe_prim)
     ng, ns, uv = _surface_attribs(frow, hit["u"], hit["v"])
     # curve hits deliver the tangent through the normal slot
     # (scene.cc:222-224, hair-shader.cc:165)
@@ -375,8 +419,11 @@ def wavefront_step(scene, state: PathState, depth: int,
     # ================== VOLUME lanes: one walk step ======================
     v_alive = alive & volume_mode
     trans = jnp.exp(-state.sss_sigma_t * t_eff[..., None])
-    pdf_hit = vdot(channel_pdf, trans)
-    pdf_scatter = vdot(channel_pdf, state.sss_sigma_t * trans)
+    # pdf DENOMINATORS detached (see t_scatter note above); numerators
+    # trans / sigma_s stay live so radius/albedo gradients flow
+    pdf_hit = lax.stop_gradient(vdot(channel_pdf, trans))
+    pdf_scatter = lax.stop_gradient(
+        vdot(channel_pdf, state.sss_sigma_t * trans))
     sss_tp_hit = state.sss_tp * trans / jnp.maximum(pdf_hit, 1e-12)[..., None]
     sss_tp_scat = (state.sss_tp * (state.sss_sigma_s * trans)
                    / jnp.maximum(pdf_scatter, 1e-12)[..., None])
@@ -392,7 +439,8 @@ def wavefront_step(scene, state: PathState, depth: int,
     # scatter lanes: volume russian roulette (random-walk-sss.h:349-358)
     rng_state, uvrr = prng.draw(rng_state)
     v_scatter = v_alive & ~hit_ok
-    pv = saturate(spectrum_norm(sss_tp))
+    # RR survival probability: detached denominator (same estimator rule)
+    pv = lax.stop_gradient(saturate(spectrum_norm(sss_tp)))
     v_rr_die = v_scatter & (uvrr >= pv)
     sss_tp = jnp.where(v_scatter[..., None],
                        sss_tp / jnp.maximum(pv, 1e-12)[..., None], sss_tp)
@@ -588,7 +636,7 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
     """
     from ..scene.scene import build_fat_tables
 
-    if "face_fat" not in scene:
+    if "mat_fat" not in scene:
         scene = build_fat_tables(scene)
     state = init_state(scene, width, height, sample_id, seed, lane)
     n = state.org.shape[0]
@@ -657,7 +705,7 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
 
     from ..scene.scene import build_fat_tables
 
-    if "face_fat" not in scene:
+    if "mat_fat" not in scene:
         scene = build_fat_tables(scene)
     pixel_ids = lane
     n = width * height if lane is None else lane.shape[0]

@@ -65,6 +65,7 @@ class SceneBuilder:
     def __init__(self):
         self.materials = MaterialBuilder()
         self._instances: List[_Instance] = []
+        self._shared: List = []  # SharedGroup (scene.instanced)
         self._light_params: List[np.ndarray] = []  # emission rgb per light param
         self._textures: List[np.ndarray] = []
         self._texture_names: List[str] = []
@@ -100,6 +101,24 @@ class SceneBuilder:
             light_ids = [None] * len(meshes)
         self._instances.append(_Instance(meshes, curves, light_ids, transform))
         return len(self._instances) - 1
+
+    def add_shared_instances(self, meshes: List[TriangleMesh], transforms,
+                             light_ids=None) -> int:
+        """K instances sharing ONE local scene (trace-time instancing:
+        reference CreateLocalScene + K x CreateInstanceFromLocalScene,
+        raytracer_impl.cc:49-84). transforms: [K, 4, 4] (or [K, 3, 4]).
+        Scenes with shared instances must be built with
+        `build_instanced(builder)` (scene.instanced)."""
+        from .instanced import SharedGroup
+
+        t = np.asarray(transforms, np.float32)
+        if t.shape[1:] == (3, 4):
+            pad = np.broadcast_to(
+                np.asarray([0, 0, 0, 1], np.float32), (t.shape[0], 1, 4))
+            t = np.concatenate([t, pad], axis=1)
+        self._shared.append(SharedGroup(
+            meshes, t, light_ids or [None] * len(meshes)))
+        return len(self._shared) - 1
 
     # -- commit -----------------------------------------------------------
     def build(self) -> Dict[str, np.ndarray]:
@@ -337,6 +356,13 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     scene["v5_node_aabb"] = node_aabb5
     scene["v5_node_meta"] = node_meta5
     scene["sig_aabb"] = _signature_cut(node_aabb5, node_meta5, max_nodes=29)
+    if packed4.shape[1] > 18000:
+        # past the 1 MB v5e SMEM budget (~20k slots incl. stack/node
+        # arrays) the triangle table must live in HBM: leaf-major layout
+        # for the V5L leaf-DMA kernel
+        from ..ops.pallas.dense_v5 import leaf_major
+
+        scene["dense_tris_v5l"] = leaf_major(packed4)
 
     # V2/V3 Morton packing runs on the VALID slots only (padding rows are
     # degenerate); their sorted prim ids map back to slot ids through
@@ -420,8 +446,35 @@ def build_fat_tables(scene: Dict) -> Dict:
     from .materials import pack_material_fat
 
     scene = dict(scene)
-    F = scene["tri_v0"].shape[0]
     f32 = jnp.float32
+    if "iface_material" in scene:
+        # instanced scene (scene.instanced): narrow per-(instance, face)
+        # rows; geometric attributes stay per-LOCAL-face in local_fat
+        scene["iface_fat"] = jnp.concatenate([
+            scene["iface_material"].astype(f32)[:, None],
+            scene["iface_light_pdf"][:, None],
+            scene["iface_emission"],
+            scene["iface_instance"].astype(f32)[:, None],
+            scene["iface_local_slot"].astype(f32)[:, None],
+            jnp.zeros((scene["iface_material"].shape[0], 1), f32),
+        ], axis=1)
+        lf = scene["emissive_faces"]
+        if lf.shape[0]:
+            scene["light_fat"] = jnp.concatenate([
+                scene["light_v0"], scene["light_e1"], scene["light_e2"],
+                scene["light_ng"], scene["iface_emission"][lf],
+                scene["iface_light_pdf"][lf][:, None],
+            ], axis=1)
+        else:
+            scene["light_fat"] = jnp.zeros((0, 16), f32)
+        scene["mat_fat"] = pack_material_fat(scene["materials"])
+        if scene["texture_atlas"].shape[:3] != (1, 1, 1):
+            from .textures import build_quad_atlas
+
+            scene["texture_quad"] = build_quad_atlas(
+                scene["texture_atlas"], scene["texture_sizes"])
+        return scene
+    F = scene["tri_v0"].shape[0]
     face_fat = jnp.concatenate([
         scene["face_ng"],
         scene["face_ns"].reshape(F, 9),

@@ -37,7 +37,7 @@ def step_occupancy(scene, width: int, height: int, max_steps: int,
     from ..render.integrator import init_state, wavefront_step
     from ..scene.scene import build_fat_tables
 
-    if "face_fat" not in scene:
+    if "mat_fat" not in scene:
         scene = build_fat_tables(scene)
 
     @jax.jit

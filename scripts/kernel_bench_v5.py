@@ -15,8 +15,10 @@ import numpy as np
 
 
 def main():
-    from pbrlab_tpu.ops.pallas.dense_v5 import dense_trace_v5
+    from pbrlab_tpu.ops.pallas.dense_v5 import (dense_trace_v5,
+                                                 dense_trace_v5l)
     from pbrlab_tpu.scene.demo import build_demo_scene
+    import functools
     import jax.numpy as jp
 
     subdiv = int(os.environ.get("KB_SUBDIV", "3"))
@@ -25,6 +27,12 @@ def main():
     aabb = scene_np["dense_cluster_aabb_v4"]
     naabb = scene_np["v5_node_aabb"]
     nmeta = scene_np["v5_node_meta"]
+    if "dense_tris_v5l" in scene_np:
+        trace = functools.partial(dense_trace_v5l,
+                                  scene_np["dense_tris_v5l"], naabb, nmeta)
+        print("backend: v5l (leaf-DMA, HBM tris)", file=sys.stderr)
+    else:
+        trace = functools.partial(dense_trace_v5, packed, naabb, nmeta)
     M = aabb.shape[1]
     print(f"slots={packed.shape[1]} M={M} Nn={naabb.shape[1]} "
           f"smem_tris={packed.nbytes // 1024}KB", file=sys.stderr)
@@ -38,13 +46,18 @@ def main():
     mint = np.zeros(N, np.float32)
     maxt = np.full(N, 1e18, np.float32)
 
-    # signature sort on the leaf-cluster mask (idealized compaction)
+    # signature sort on the leaf-cluster mask (idealized compaction);
+    # chunked over rays — the dense [N, M, 3] broadcast is ~20 GB at
+    # M~2k, far past host RAM
     inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
-    t0 = (aabb[0:3].T[None] - org[:, None]) * inv[:, None]
-    t1 = (aabb[3:6].T[None] - org[:, None]) * inv[:, None]
-    tnear = np.minimum(t0, t1).max(-1)
-    tfar = np.maximum(t0, t1).min(-1)
-    mask = (tnear <= tfar * 1.00000024) & (tfar >= 0.0)
+    mask = np.zeros((N, M), bool)
+    for a in range(0, N, 65536):
+        b = min(a + 65536, N)
+        t0 = (aabb[0:3].T[None] - org[a:b, None]) * inv[a:b, None]
+        t1 = (aabb[3:6].T[None] - org[a:b, None]) * inv[a:b, None]
+        tnear = np.minimum(t0, t1).max(-1)
+        tfar = np.maximum(t0, t1).min(-1)
+        mask[a:b] = (tnear <= tfar * 1.00000024) & (tfar >= 0.0)
     k1 = np.zeros(N, np.uint64)
     k2 = np.zeros(N, np.uint64)
     for c in range(min(M, 64)):
@@ -60,13 +73,11 @@ def main():
 
     def run(name, o, dd, mn, mx, any_hit=False):
         o, dd, mn, mx = map(jp.asarray, (o, dd, mn, mx))
-        r = dense_trace_v5(packed, naabb, nmeta, o, dd, mn, mx,
-                           any_hit=any_hit)
+        r = trace(o, dd, mn, mx, any_hit=any_hit)
         np.asarray(r["t"].sum())  # compile + settle (scalar fetch sync)
         t0 = time.perf_counter()
         for _ in range(iters):
-            r = dense_trace_v5(packed, naabb, nmeta, o, dd, mn, mx,
-                               any_hit=any_hit)
+            r = trace(o, dd, mn, mx, any_hit=any_hit)
             np.asarray(r["t"].sum())
         dt = (time.perf_counter() - t0) / iters
         print(f"v5:{name:12s} {dt * 1e3:8.1f} ms   {N / dt / 1e6:7.2f} Mray/s",

@@ -44,10 +44,12 @@ def test_full_scene_json(tmp_path):
     jpath = tmp_path / "scene.json"
     jpath.write_text(json.dumps(desc))
     scene, render_cfg = load_scene_json(str(jpath))
-    assert scene["tri_v0"].shape[0] == 2
+    # commit pads face columns to SAH slot windows; count VALID faces
+    valid = scene["face_area"] > 0.0
+    assert valid.sum() == 2
     assert render_cfg["width"] == 64
     # the wall was translated by (0,0,-1)
-    zs = np.sort(scene["tri_v0"][:, 2])
+    zs = np.sort(scene["tri_v0"][valid][:, 2])
     np.testing.assert_allclose(zs, [-1.0, 1.0], atol=1e-6)
     # one emissive face with the configured emission
     assert scene["emissive_faces"].shape[0] == 1
