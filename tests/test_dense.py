@@ -7,10 +7,22 @@ scene["dense_order"] (as ops.intersect._remap_legacy_prim does).
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pbrlab_tpu.core.math import INF
 from pbrlab_tpu.ops.intersect import intersect_bruteforce
 from pbrlab_tpu.ops.pallas.dense import dense_trace
+
+
+@pytest.fixture(scope="module")
+def dense_scene():
+    """Small scene for interpret-mode kernel runs (interpret cost scales
+    with rays x clusters; subdiv=1 keeps each test in seconds)."""
+    from pbrlab_tpu.scene.demo import build_demo_scene
+    from pbrlab_tpu.scene.scene import scene_to_device
+
+    scene_np, _ = build_demo_scene(subdiv=1)
+    return scene_to_device(scene_np)
 
 
 def _rays(scene, n, rng):
@@ -42,107 +54,107 @@ def _check_against_bruteforce(scene, got, ref, remap=False):
     assert same[hit_ref].mean() > 0.99
 
 
-def test_dense_matches_bruteforce(demo_scene, rng_np):
-    org, d, mn, mx = _rays(demo_scene, 512, rng_np)
-    ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
-    got = dense_trace(demo_scene["dense_tris"],
-                      demo_scene["dense_cluster_aabb"], org, d, mn, mx,
+def test_dense_matches_bruteforce(dense_scene, rng_np):
+    org, d, mn, mx = _rays(dense_scene, 512, rng_np)
+    ref = intersect_bruteforce(dense_scene, org, d, mn, mx)
+    got = dense_trace(dense_scene["dense_tris"],
+                      dense_scene["dense_cluster_aabb"], org, d, mn, mx,
                       interpret=True)
-    _check_against_bruteforce(demo_scene, got, ref, remap=True)
+    _check_against_bruteforce(dense_scene, got, ref, remap=True)
 
 
-def test_dense_any_hit(demo_scene, rng_np):
-    org, d, mn, mx = _rays(demo_scene, 256, rng_np)
-    closest = dense_trace(demo_scene["dense_tris"],
-                          demo_scene["dense_cluster_aabb"], org, d, mn, mx,
+def test_dense_any_hit(dense_scene, rng_np):
+    org, d, mn, mx = _rays(dense_scene, 256, rng_np)
+    closest = dense_trace(dense_scene["dense_tris"],
+                          dense_scene["dense_cluster_aabb"], org, d, mn, mx,
                           interpret=True)
-    any_h = dense_trace(demo_scene["dense_tris"],
-                        demo_scene["dense_cluster_aabb"], org, d, mn, mx,
+    any_h = dense_trace(dense_scene["dense_tris"],
+                        dense_scene["dense_cluster_aabb"], org, d, mn, mx,
                         any_hit=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(any_h["prim"]) >= 0,
                                   np.asarray(closest["prim"]) >= 0)
 
 
-def test_dense_respects_max_t(demo_scene, rng_np):
-    org, d, mn, _ = _rays(demo_scene, 256, rng_np)
-    full = dense_trace(demo_scene["dense_tris"],
-                       demo_scene["dense_cluster_aabb"], org, d, mn,
+def test_dense_respects_max_t(dense_scene, rng_np):
+    org, d, mn, _ = _rays(dense_scene, 256, rng_np)
+    full = dense_trace(dense_scene["dense_tris"],
+                       dense_scene["dense_cluster_aabb"], org, d, mn,
                        jnp.full((256,), INF), interpret=True)
     t = np.asarray(full["t"])
     hit = np.asarray(full["prim"]) >= 0
-    lim = dense_trace(demo_scene["dense_tris"],
-                      demo_scene["dense_cluster_aabb"], org, d, mn,
+    lim = dense_trace(dense_scene["dense_tris"],
+                      dense_scene["dense_cluster_aabb"], org, d, mn,
                       jnp.asarray(np.where(hit, t * 0.5, 1.0), jnp.float32),
                       interpret=True)
     assert (np.asarray(lim["prim"])[hit] == -1).all()
 
 
-def test_dense_v3_matches_bruteforce(demo_scene, rng_np):
+def test_dense_v3_matches_bruteforce(dense_scene, rng_np):
     """Survivor-list kernel, both cull modes, vs the brute-force oracle."""
     from pbrlab_tpu.ops.pallas.dense_v3 import dense_trace_v3
 
-    org, d, mn, mx = _rays(demo_scene, 256, rng_np)
-    ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
+    org, d, mn, mx = _rays(dense_scene, 256, rng_np)
+    ref = intersect_bruteforce(dense_scene, org, d, mn, mx)
     for cull in ("beam", "exact"):
-        got = dense_trace_v3(demo_scene["dense_tris"],
-                             demo_scene["dense_cluster_aabb"], org, d, mn,
+        got = dense_trace_v3(dense_scene["dense_tris"],
+                             dense_scene["dense_cluster_aabb"], org, d, mn,
                              mx, interpret=True, cull=cull)
-        _check_against_bruteforce(demo_scene, got, ref, remap=True)
+        _check_against_bruteforce(dense_scene, got, ref, remap=True)
 
 
-def test_dense_v4_matches_bruteforce(demo_scene, rng_np):
+def test_dense_v4_matches_bruteforce(dense_scene, rng_np):
     """Scalar-triangle kernel (default TPU backend) vs brute force —
     closest hit, any hit, and prim ids are slot ids with NO remap."""
     from pbrlab_tpu.ops.pallas.dense_v4 import dense_trace_v4
 
-    org, d, mn, mx = _rays(demo_scene, 512, rng_np)
-    ref = intersect_bruteforce(demo_scene, org, d, mn, mx)
-    got = dense_trace_v4(demo_scene["dense_tris_v4"],
-                         demo_scene["dense_cluster_aabb_v4"], org, d, mn,
+    org, d, mn, mx = _rays(dense_scene, 512, rng_np)
+    ref = intersect_bruteforce(dense_scene, org, d, mn, mx)
+    got = dense_trace_v4(dense_scene["dense_tris_v4"],
+                         dense_scene["dense_cluster_aabb_v4"], org, d, mn,
                          mx, interpret=True)
-    _check_against_bruteforce(demo_scene, got, ref)
-    any_h = dense_trace_v4(demo_scene["dense_tris_v4"],
-                           demo_scene["dense_cluster_aabb_v4"], org, d, mn,
+    _check_against_bruteforce(dense_scene, got, ref)
+    any_h = dense_trace_v4(dense_scene["dense_tris_v4"],
+                           dense_scene["dense_cluster_aabb_v4"], org, d, mn,
                            mx, any_hit=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(any_h["prim"]) >= 0,
                                   np.asarray(ref["prim"]) >= 0)
 
 
-def test_dense_v4_respects_max_t_and_dead_lanes(demo_scene, rng_np):
+def test_dense_v4_respects_max_t_and_dead_lanes(dense_scene, rng_np):
     """Per-lane max_t clips hits; dead lanes (max_t < 0) never hit, even
     padded into partially-alive groups (n not a multiple of the tile)."""
     from pbrlab_tpu.ops.pallas.dense_v4 import dense_trace_v4
 
     n = 384
-    org, d, mn, _ = _rays(demo_scene, n, rng_np)
-    full = dense_trace_v4(demo_scene["dense_tris_v4"],
-                          demo_scene["dense_cluster_aabb_v4"], org, d, mn,
+    org, d, mn, _ = _rays(dense_scene, n, rng_np)
+    full = dense_trace_v4(dense_scene["dense_tris_v4"],
+                          dense_scene["dense_cluster_aabb_v4"], org, d, mn,
                           jnp.full((n,), INF), interpret=True)
     t = np.asarray(full["t"])
     hit = np.asarray(full["prim"]) >= 0
     mx = np.where(hit, t * 0.5, 1.0).astype(np.float32)
     mx[::3] = -1.0
-    lim = dense_trace_v4(demo_scene["dense_tris_v4"],
-                         demo_scene["dense_cluster_aabb_v4"], org, d, mn,
+    lim = dense_trace_v4(dense_scene["dense_tris_v4"],
+                         dense_scene["dense_cluster_aabb_v4"], org, d, mn,
                          jnp.asarray(mx), interpret=True)
     assert (np.asarray(lim["prim"])[hit] == -1).all()
     assert (np.asarray(lim["prim"])[::3] == -1).all()
 
 
-def test_dense_v4_permutation_invariant(demo_scene, rng_np):
+def test_dense_v4_permutation_invariant(dense_scene, rng_np):
     """Results are bit-identical per ray under any lane permutation (exact
     culling — grouping only affects survivor list size, never membership
     for the rays present)."""
     from pbrlab_tpu.ops.pallas.dense_v4 import dense_trace_v4
 
     n = 512
-    org, d, mn, mx = _rays(demo_scene, n, rng_np)
+    org, d, mn, mx = _rays(dense_scene, n, rng_np)
     perm = rng_np.permutation(n)
-    base = dense_trace_v4(demo_scene["dense_tris_v4"],
-                          demo_scene["dense_cluster_aabb_v4"], org, d, mn,
+    base = dense_trace_v4(dense_scene["dense_tris_v4"],
+                          dense_scene["dense_cluster_aabb_v4"], org, d, mn,
                           mx, interpret=True)
-    shuf = dense_trace_v4(demo_scene["dense_tris_v4"],
-                          demo_scene["dense_cluster_aabb_v4"], org[perm],
+    shuf = dense_trace_v4(dense_scene["dense_tris_v4"],
+                          dense_scene["dense_cluster_aabb_v4"], org[perm],
                           d[perm], mn[perm], mx[perm], interpret=True)
     np.testing.assert_array_equal(np.asarray(base["t"])[perm],
                                   np.asarray(shuf["t"]))
@@ -150,14 +162,14 @@ def test_dense_v4_permutation_invariant(demo_scene, rng_np):
                                   np.asarray(shuf["prim"]))
 
 
-def test_beam_cull_is_conservative(demo_scene, rng_np):
+def test_beam_cull_is_conservative(dense_scene, rng_np):
     """Every exact per-ray survivor is contained in the beam group mask."""
     from pbrlab_tpu.ops.pallas.dense_v3 import (cluster_mask,
                                                 group_survivors_beam)
 
     n = 1024
-    org, d, mn, mx = _rays(demo_scene, n, rng_np)
-    aabb = demo_scene["dense_cluster_aabb"]
+    org, d, mn, mx = _rays(dense_scene, n, rng_np)
+    aabb = dense_scene["dense_cluster_aabb"]
     exact = np.asarray(cluster_mask(aabb, org, d, mn, mx))
     exact_g = exact.reshape(n // 128, 128, -1).any(axis=1)
     beam = np.asarray(group_survivors_beam(aabb, org, d, mn, mx))
@@ -199,3 +211,45 @@ def test_dense_curve_matches_bvh(rng_np):
                        < 1e-4)
     np.testing.assert_allclose(np.asarray(got["v"])[same_sub],
                                np.asarray(ref["v"])[same_sub], atol=5e-2)
+
+
+def test_dense_v5_matches_bruteforce(dense_scene, rng_np):
+    """Fused packet-traversal kernel vs brute force — closest + any hit +
+    dead lanes (slot ids, no remap)."""
+    from pbrlab_tpu.ops.pallas.dense_v5 import dense_trace_v5
+
+    org, d, mn, mx = _rays(dense_scene, 512, rng_np)
+    ref = intersect_bruteforce(dense_scene, org, d, mn, mx)
+    got = dense_trace_v5(dense_scene["dense_tris_v4"],
+                         dense_scene["v5_node_aabb"],
+                         dense_scene["v5_node_meta"], org, d, mn, mx,
+                         interpret=True)
+    _check_against_bruteforce(dense_scene, got, ref)
+    # any-hit with dead lanes mixed in (they must not block early exit)
+    mxd = np.asarray(mx).copy()
+    mxd[::4] = -1.0
+    any_h = dense_trace_v5(dense_scene["dense_tris_v4"],
+                           dense_scene["v5_node_aabb"],
+                           dense_scene["v5_node_meta"], org, d, mn,
+                           jnp.asarray(mxd), any_hit=True, interpret=True)
+    want = (np.asarray(ref["prim"]) >= 0) & (mxd > 0)
+    np.testing.assert_array_equal(np.asarray(any_h["prim"]) >= 0, want)
+
+
+def test_dense_v5l_matches_v5(dense_scene, rng_np):
+    """Leaf-DMA variant (HBM triangles, double-buffered SMEM) returns
+    bit-identical hits to the SMEM-resident V5."""
+    from pbrlab_tpu.ops.pallas.dense_v5 import (dense_trace_v5,
+                                                dense_trace_v5l, leaf_major)
+
+    org, d, mn, mx = _rays(dense_scene, 256, rng_np)
+    a = dense_trace_v5(dense_scene["dense_tris_v4"],
+                       dense_scene["v5_node_aabb"],
+                       dense_scene["v5_node_meta"], org, d, mn, mx,
+                       interpret=True)
+    pl_ = leaf_major(np.asarray(dense_scene["dense_tris_v4"]))
+    b = dense_trace_v5l(jnp.asarray(pl_), dense_scene["v5_node_aabb"],
+                        dense_scene["v5_node_meta"], org, d, mn, mx,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(a["prim"]), np.asarray(b["prim"]))
+    np.testing.assert_array_equal(np.asarray(a["t"]), np.asarray(b["t"]))
