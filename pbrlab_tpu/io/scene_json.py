@@ -209,11 +209,28 @@ def load_scene_json(path: str):
     local_scenes: Dict[str, List[str]] = {
         ls["name"]: ls["meshes"] for ls in root.get("local_scenes", [])}
 
-    # 7. instances
+    # 7. instances — instances sharing a local scene (with identical
+    # material/light overrides) become ONE shared-BLAS group traced by
+    # the two-level instancing kernel (reference CreateInstanceFromLocal-
+    # Scene shares the Embree BLAS the same way, raytracer_impl.cc:49-84)
+    shared_xforms: Dict[tuple, List[np.ndarray]] = {}
+    if not curves_by_name:
+        for inst in root.get("instances", []):
+            key = (inst["local_scene"], tuple(inst.get("materials", [])),
+                   tuple(inst.get("lights", [])))
+            shared_xforms.setdefault(key, []).append(
+                transform_matrix(inst.get("transform")))
+    use_shared = any(len(v) > 1 for v in shared_xforms.values())
+    done_shared = set()
+
     for inst in root.get("instances", []):
         mesh_names = local_scenes.get(inst["local_scene"],
                                       [inst["local_scene"]])
         xform = transform_matrix(inst.get("transform"))
+        key = (inst["local_scene"], tuple(inst.get("materials", [])),
+               tuple(inst.get("lights", [])))
+        if use_shared and key in done_shared:
+            continue
         tri_meshes, curve_meshes, lights_per_mesh = [], [], []
         mats = inst.get("materials", [])
         lights = inst.get("lights", [])
@@ -245,8 +262,14 @@ def load_scene_json(path: str):
                                                np.int32))
             else:
                 lights_per_mesh.append(None)
-        b.add_instance(tri_meshes, curves=curve_meshes,
-                       light_ids=lights_per_mesh, transform=xform)
+        if use_shared:
+            done_shared.add(key)
+            b.add_shared_instances(tri_meshes,
+                                   np.stack(shared_xforms[key]),
+                                   light_ids=lights_per_mesh)
+        else:
+            b.add_instance(tri_meshes, curves=curve_meshes,
+                           light_ids=lights_per_mesh, transform=xform)
 
     # auto instances (identity transform)
     for mesh in auto_instance_meshes:
@@ -254,4 +277,8 @@ def load_scene_json(path: str):
     for curve in auto_instance_curves:
         b.add_instance([], curves=[curve])
 
+    if use_shared:
+        from ..scene.instanced import build_instanced
+
+        return build_instanced(b), root.get("render", {})
     return commit(b.build()), root.get("render", {})

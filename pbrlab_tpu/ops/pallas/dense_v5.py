@@ -614,7 +614,7 @@ def dense_trace_v5l(packed_leaf, node_aabb, node_meta, org, direction,
         in_specs=[
             pl.BlockSpec((1, 8, 8, 128), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(node_aabb.shape, lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(node_meta.shape, lambda g: (0, 0),

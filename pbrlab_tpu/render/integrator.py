@@ -712,6 +712,7 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
     if pixels_per_lane is None:
         pixels_per_lane = int(os.environ.get(
             "PBRLAB_PPL", max(1, min(16, n // 65536))))
+    sort_every = int(os.environ.get("PBRLAB_SORT_EVERY", sort_every))
     k = pixels_per_lane
     n_lanes = (n + k - 1) // k
     n_jobs = k * spp

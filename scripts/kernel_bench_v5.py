@@ -47,27 +47,32 @@ def main():
     maxt = np.full(N, 1e18, np.float32)
 
     # signature sort on the leaf-cluster mask (idealized compaction);
-    # chunked over rays — the dense [N, M, 3] broadcast is ~20 GB at
-    # M~2k, far past host RAM
+    # chunked over rays — the dense [N, M, 3] broadcast blows host RAM
+    # past a few k clusters, so keep chunks small and skip the analysis
+    # entirely when N*M is impractical
+    do_sort = N * M <= (1 << 31)
     inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
-    mask = np.zeros((N, M), bool)
-    for a in range(0, N, 65536):
-        b = min(a + 65536, N)
-        t0 = (aabb[0:3].T[None] - org[a:b, None]) * inv[a:b, None]
-        t1 = (aabb[3:6].T[None] - org[a:b, None]) * inv[a:b, None]
-        tnear = np.minimum(t0, t1).max(-1)
-        tfar = np.maximum(t0, t1).min(-1)
-        mask[a:b] = (tnear <= tfar * 1.00000024) & (tfar >= 0.0)
+    mask = np.zeros((N, min(M, 128)), bool)
+    mcap = min(M, 128)  # sort key uses 128 bits anyway
+    if do_sort:
+        for a in range(0, N, 8192):
+            b = min(a + 8192, N)
+            t0 = (aabb[0:3, :mcap].T[None] - org[a:b, None]) * inv[a:b, None]
+            t1 = (aabb[3:6, :mcap].T[None] - org[a:b, None]) * inv[a:b, None]
+            tnear = np.minimum(t0, t1).max(-1)
+            tfar = np.maximum(t0, t1).min(-1)
+            mask[a:b] = (tnear <= tfar * 1.00000024) & (tfar >= 0.0)
     k1 = np.zeros(N, np.uint64)
     k2 = np.zeros(N, np.uint64)
-    for c in range(min(M, 64)):
+    for c in range(min(mcap, 64)):
         k1 |= mask[:, c].astype(np.uint64) << np.uint64(c)
-    for c in range(64, min(M, 128)):
+    for c in range(64, mcap):
         k2 |= mask[:, c].astype(np.uint64) << np.uint64(c - 64)
     perm = np.lexsort((k2, k1))
-    u = mask[perm].reshape(-1, 1024, M).any(1).sum(1)
-    print(f"sorted survivors/1024-group: mean={u.mean():.2f} "
-          f"max={u.max()}", file=sys.stderr)
+    if do_sort:
+        u = mask[perm].reshape(-1, 1024, mcap).any(1).sum(1)
+        print(f"sorted survivors(first {mcap} leaves)/1024-group: "
+              f"mean={u.mean():.2f} max={u.max()}", file=sys.stderr)
 
     iters = int(os.environ.get("KB_ITERS", "8"))
 

@@ -70,3 +70,42 @@ def test_render_config(tmp_path):
     assert cfg.width == 256 and cfg.height == 512
     assert cfg.max_pass == 8
     assert cfg.scene_filepaths == ["a.obj"]
+
+
+def test_json_shared_instances(tmp_path):
+    """Instances repeating a local_scene route through the shared-BLAS
+    two-level path (raytracer_impl.cc:49-84 semantics)."""
+    obj = tmp_path / "tri.obj"
+    obj.write_text(
+        "o blockmesh\nv 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n"
+        "o lampmesh\nv 0 0 1\nv 1 0 1\nv 0 1 1\nf 4 6 5\n")
+    desc = {
+        "wavefront_objs": [{"filepath": "tri.obj"}],
+        "materials": [{"type": "cycles_principled_bsdf", "name": "red",
+                       "base_color": [0.8, 0.1, 0.1]}],
+        "lights": [{"type": "area", "name": "key", "emission": [5, 5, 5]}],
+        "local_scenes": [{"name": "block", "meshes": ["blockmesh"]},
+                         {"name": "lamp", "meshes": ["lampmesh"]}],
+        "instances": [
+            {"local_scene": "block", "materials": ["red"],
+             "transform": [{"type": "translate", "translate": [x, 0, 0]}]}
+            for x in (0.0, 2.0, 4.0)
+        ] + [{"local_scene": "lamp", "lights": ["key"]}],
+    }
+    jpath = tmp_path / "scene.json"
+    jpath.write_text(json.dumps(desc))
+    scene, _ = load_scene_json(str(jpath))
+    assert "i5_tris" in scene, "shared instances must use the TLAS/BLAS path"
+    assert scene["i5_inst_meta"].shape[1] == 4  # 3 blocks + 1 lamp
+    # the three block instances share ONE BLAS: the packed table holds
+    # only two local scenes' slots
+    assert scene["i5_tris"].shape[1] == 2 * 32
+    assert scene["emissive_faces"].shape[0] == 1
+    from pbrlab_tpu.render.integrator import render_sample
+    from pbrlab_tpu.scene.scene import scene_to_device
+
+    import jax.numpy as jnp
+
+    img = np.asarray(render_sample(scene_to_device(scene), 8, 8,
+                                   jnp.uint32(0), max_steps=3))
+    assert np.isfinite(img).all()
