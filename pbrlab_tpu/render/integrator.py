@@ -673,7 +673,7 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
 
 def render_lanes_wavefront(scene, width: int, height: int, spp: int,
                            seed=0, max_steps: int = 32, lane=None,
-                           sort_every: int = 2, k_volume: int = 0,
+                           sort_every: int = 1, k_volume: int = 0,
                            pixels_per_lane: int | None = None):
     """Full-occupancy forward render: persistent lanes + job refill.
 
