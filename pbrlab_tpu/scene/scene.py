@@ -76,14 +76,18 @@ class SceneBuilder:
         return len(self._light_params) - 1
 
     def add_texture(self, image: np.ndarray, name: str = "") -> int:
-        """Register an RGB float texture [H, W, 3] (linear space)."""
+        """Register a float texture [H, W, 1|3|4] (linear space).
+
+        Alpha channels are preserved (reference Texture::FetchFloatN is
+        channel-count generic, texture.h:28-34): when any registered
+        texture has 4 channels the atlas is RGBA, else RGB; color fetches
+        slice the first 3 either way and textures.fetch_float_n exposes
+        the full channel count."""
         img = np.ascontiguousarray(np.asarray(image, np.float32))
         if img.ndim == 2:
             img = img[..., None]
         if img.shape[-1] == 1:
             img = np.repeat(img, 3, axis=-1)
-        if img.shape[-1] == 4:
-            img = img[..., :3]
         self._textures.append(img)
         self._texture_names.append(name)
         return len(self._textures) - 1
@@ -234,14 +238,18 @@ class SceneBuilder:
         # ---- materials --------------------------------------------------
         scene["materials"] = self.materials.build()
 
-        # ---- textures: padded atlas stack [T, H, W, 3] ------------------
+        # ---- textures: padded atlas stack [T, H, W, 3|4] ---------------
         if self._textures:
             hmax = max(t.shape[0] for t in self._textures)
             wmax = max(t.shape[1] for t in self._textures)
-            atlas = np.zeros((len(self._textures), hmax, wmax, 3), np.float32)
+            ch = max(t.shape[2] for t in self._textures)
+            atlas = np.zeros((len(self._textures), hmax, wmax, ch),
+                             np.float32)
+            if ch == 4:
+                atlas[..., 3] = 1.0  # opaque where unspecified
             sizes = np.zeros((len(self._textures), 2), np.int32)
             for i, t in enumerate(self._textures):
-                atlas[i, : t.shape[0], : t.shape[1]] = t
+                atlas[i, : t.shape[0], : t.shape[1], : t.shape[2]] = t
                 sizes[i] = (t.shape[0], t.shape[1])
             scene["texture_atlas"] = atlas
             scene["texture_sizes"] = sizes

@@ -16,10 +16,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def fetch_float3(atlas, sizes, tex_id, u, v):
-    """Per-lane bilinear RGB fetch.
+def fetch_float_n(atlas, sizes, tex_id, u, v):
+    """Per-lane bilinear fetch of ALL atlas channels (FetchFloatN,
+    /root/reference/src/texture.h:28-34 — channel-count generic).
 
-    atlas [T, H, W, 3], sizes [T, 2] (h, w), tex_id [N] (>=0), u/v [N].
+    atlas [T, H, W, C], sizes [T, 2] (h, w), tex_id [N] (>=0), u/v [N].
     Clamp addressing; pixel centers at integer+0.5 like stb/reference.
     """
     tid = jnp.maximum(tex_id, 0)
@@ -49,8 +50,13 @@ def fetch_float3(atlas, sizes, tex_id, u, v):
             + c01 * (1 - fx) * fy + c11 * fx * fy)
 
 
+def fetch_float3(atlas, sizes, tex_id, u, v):
+    """Per-lane bilinear RGB fetch (first 3 channels of the atlas)."""
+    return fetch_float_n(atlas, sizes, tex_id, u, v)[..., :3]
+
+
 def build_quad_atlas(atlas, sizes):
-    """Bake each texel's clamped 2x2 neighborhood: [T,H,W,3] -> [T,H,W,12]
+    """Bake each texel's clamped 2x2 neighborhood: [T,H,W,C] -> [T,H,W,4C]
     (c00 c10 c01 c11). Runs inside jit (build_fat_tables) so gradients
     flow through the bake to the atlas leaf."""
     t, h, w, _ = atlas.shape
@@ -84,8 +90,12 @@ def fetch_float3_quad(quad, sizes, tex_id, u, v):
     fy = jnp.where(y0 < 0.0, 0.0, y - y0)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, (w - 1).astype(jnp.int32))
     y0i = jnp.clip(y0.astype(jnp.int32), 0, (h - 1).astype(jnp.int32))
-    row = quad[tid, y0i, x0i]  # [N, 12]
+    row = quad[tid, y0i, x0i]  # [N, 4C]
+    c = quad.shape[-1] // 4
     fx = fx[..., None]
     fy = fy[..., None]
-    return (row[:, 0:3] * (1 - fx) * (1 - fy) + row[:, 3:6] * fx * (1 - fy)
-            + row[:, 6:9] * (1 - fx) * fy + row[:, 9:12] * fx * fy)
+    out = (row[:, 0:c] * (1 - fx) * (1 - fy)
+           + row[:, c:2 * c] * fx * (1 - fy)
+           + row[:, 2 * c:3 * c] * (1 - fx) * fy
+           + row[:, 3 * c:4 * c] * fx * fy)
+    return out[..., :3]

@@ -15,6 +15,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent executable cache: the suite's wall time is dominated by
+# XLA:CPU compiles of the big wavefront programs; workers and reruns
+# share compiled artifacts
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PBRLAB_JAX_CACHE", "/tmp/pbrlab_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -58,3 +58,50 @@ def test_logger_json_fields(capsys):
     rec = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rec["pass_id"] == 3 and rec["mrays"] == 1.5
     assert rec["level"] == "info"
+
+
+def test_fetch_float_n_rgba():
+    """Channel-N texture fetch (Texture::FetchFloatN, texture.h:28-34):
+    alpha survives the atlas and bilinear filtering matches numpy."""
+    import jax.numpy as jnp
+
+    from pbrlab_tpu.scene.scene import SceneBuilder
+    from pbrlab_tpu.scene.textures import fetch_float3, fetch_float_n
+
+    rng = np.random.default_rng(0)
+    rgba = rng.random((5, 7, 4)).astype(np.float32)
+    rgb = rng.random((3, 4, 3)).astype(np.float32)
+    b = SceneBuilder()
+    b.add_texture(rgba, "a")
+    b.add_texture(rgb, "b")
+    scene = b.build()
+    atlas = jnp.asarray(scene["texture_atlas"])
+    sizes = jnp.asarray(scene["texture_sizes"])
+    assert atlas.shape[-1] == 4
+    # RGB texture padded with alpha=1
+    assert float(np.asarray(atlas)[1, 0, 0, 3]) == 1.0
+
+    u = jnp.asarray(rng.random(64), jnp.float32)
+    v = jnp.asarray(rng.random(64), jnp.float32)
+    tid = jnp.zeros((64,), jnp.int32)
+    got = np.asarray(fetch_float_n(atlas, sizes, tid, u, v))
+    assert got.shape == (64, 4)
+
+    # numpy bilinear reference with clamp addressing
+    h, w = 5, 7
+    x = np.asarray(u) * w - 0.5
+    y = np.asarray(v) * h - 0.5
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    def at(xi, yi):
+        return rgba[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+
+    want = (at(x0, y0) * (1 - fx) * (1 - fy) + at(x0 + 1, y0) * fx * (1 - fy)
+            + at(x0, y0 + 1) * (1 - fx) * fy + at(x0 + 1, y0 + 1) * fx * fy)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(fetch_float3(atlas, sizes, tid, u, v)), want[:, :3],
+        rtol=1e-5, atol=1e-6)
