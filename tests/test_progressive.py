@@ -95,3 +95,48 @@ def test_texture_fetch_path():
     lit = flat[flat.sum(1) > 0.01]
     assert (lit[:, 0] > 2 * lit[:, 2]).any(), "no red texel visible"
     assert (lit[:, 2] > 2 * lit[:, 0]).any(), "no blue texel visible"
+
+
+def test_preemption_kill_and_resume(tmp_path):
+    """Fault injection: SIGKILL a progressive render mid-run, resume from
+    its checkpoint in a fresh process, and the final image must be
+    bit-identical to an uninterrupted run — pass seeds are deterministic
+    and the accumulator + pass counter round-trip (SURVEY.md §5
+    'checkpoint/resume: none' in the reference; VERDICT §5 asked for a
+    preemption-kill exercise, not just a save/load round trip)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    worker = os.path.join(os.path.dirname(__file__), "preemption_worker.py")
+    ckpt = str(tmp_path / "ck.npz")
+    out_resumed = str(tmp_path / "resumed.npy")
+    out_clean = str(tmp_path / "clean.npy")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    # victim: render 4 passes, checkpointing each; kill after pass 2
+    p = subprocess.Popen([sys.executable, worker, ckpt, "/dev/null", "4"],
+                         stdout=subprocess.PIPE, env=env, text=True)
+    deadline = time.time() + 600
+    seen = 0
+    while seen < 2 and time.time() < deadline:
+        line = p.stdout.readline()
+        if line.startswith("pass"):
+            seen = int(line.split()[1])
+    assert seen >= 2, "victim never reached pass 2"
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
+    # resume in a fresh process from the checkpoint
+    rc = subprocess.run([sys.executable, worker, ckpt, out_resumed, "4",
+                         "resume"], env=env, timeout=600).returncode
+    assert rc == 0
+    # uninterrupted reference
+    rc = subprocess.run([sys.executable, worker,
+                         str(tmp_path / "ck2.npz"), out_clean, "4"],
+                        env=env, timeout=600).returncode
+    assert rc == 0
+
+    np.testing.assert_array_equal(np.load(out_resumed), np.load(out_clean))
