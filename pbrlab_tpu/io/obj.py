@@ -204,6 +204,12 @@ def material_params_to_builder(mat_list: List[Dict], mat_names: List[str],
                 fpath = os.path.join(params.get("__base_dir__", ""),
                                      spec["file"])
                 img = load_image(fpath)
+                if img is None:
+                    import logging
+
+                    logging.getLogger("pbrlab_tpu.io").warning(
+                        "material %r: texture %s unreadable; falling back "
+                        "to constant %s", name, fpath, col)
                 if img is not None:
                     is_hdr = os.path.splitext(spec["file"])[1].lower() in (
                         ".exr", ".hdr")

@@ -44,6 +44,7 @@ def hair_scene():
     return scene_np, scene_to_device(scene_np)
 
 
+@pytest.mark.slow
 def test_hair_matches_oracle(hair_scene):
     """Radiometric parity: framework hair render vs the independent
     transcription, statistically (different RNG streams)."""

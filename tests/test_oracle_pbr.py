@@ -28,6 +28,7 @@ def sss_only_scene():
     return scene_np, scene_to_device(scene_np)
 
 
+@pytest.mark.slow
 def test_principled_ggx_matches_oracle(ggx_scene):
     scene_np, scene_dev = ggx_scene
     ours = np.asarray(render(scene_dev, W, H, SPP, max_steps=16))
@@ -40,6 +41,7 @@ def test_principled_ggx_matches_oracle(ggx_scene):
         f"mean abs diff {diff}, ref mean {ref.mean()}")
 
 
+@pytest.mark.slow
 def test_sss_matches_oracle(sss_only_scene):
     scene_np, scene_dev = sss_only_scene
     ours = np.asarray(render(scene_dev, W, H, SPP, max_steps=16, k_volume=4))
