@@ -91,7 +91,9 @@ def main(argv=None):
             args.spp = render_cfg.get("max_pass", args.spp)
         else:
             scene_np = build_scene_from_files(args.scenes)
-    print(f"scene: {scene_np['tri_v0'].shape[0]} triangles, "
+    ntri = (scene_np["tri_v0"].shape[0] if "tri_v0" in scene_np
+            else scene_np["iface_material"].shape[0])
+    print(f"scene: {ntri} triangles, "
           f"{scene_np['curve_pts'].shape[0]} curve segments", file=sys.stderr)
     k_volume = args.k_volume
     if k_volume < 0:

@@ -22,9 +22,15 @@ from ..geometry.mesh import CubicBezierCurveMesh
 TAU = 0.5
 
 
-def load_cyhair(path: str, y_up: bool = True
-                ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-    """Returns (list of per-strand [P,3] points, list of [P] thicknesses)."""
+def load_cyhair(path: str, y_up: bool = True, with_colors: bool = False):
+    """Returns (list of per-strand [P,3] points, list of [P] thicknesses)
+    — or, with with_colors=True, a third element: list of per-strand [P,3]
+    RGB colors (or None when the file has no color block).
+
+    All five flag-gated blocks of the format are handled
+    (/root/reference/src/io/cyhair.cc:20-127): segments, points, thickness,
+    transparency (parsed and discarded — the reference reads it into
+    memory and never consumes it either), and per-point color."""
     with open(path, "rb") as f:
         header = f.read(128)
         if header[:4] != b"HAIR":
@@ -35,6 +41,8 @@ def load_cyhair(path: str, y_up: bool = True
         has_segments = bool(flags & 0x1)
         has_points = bool(flags & 0x2)
         has_thickness = bool(flags & 0x4)
+        has_transparency = bool(flags & 0x8)
+        has_color = bool(flags & 0x10)
         if not has_points:
             raise ValueError("no point data in CyHair")
         if default_segments < 1 and not has_segments:
@@ -48,16 +56,24 @@ def load_cyhair(path: str, y_up: bool = True
             thick = np.fromfile(f, np.float32, total_points)
         else:
             thick = np.full(total_points, default_thickness, np.float32)
+        if has_transparency:  # explicit skip: keeps the color block aligned
+            np.fromfile(f, np.float32, total_points)
+        color = (np.fromfile(f, np.float32, total_points * 3).reshape(-1, 3)
+                 if has_color else None)
     if not y_up:
         points = points[:, [0, 2, 1]]
     offsets = np.concatenate([[0], np.cumsum(segments + 1)])
-    verts, thicks = [], []
+    verts, thicks, colors = [], [], []
     for s in range(num_strands):
         a, b = offsets[s], offsets[s + 1]
         if b - a < 2:
             continue
         verts.append(points[a:b])
         thicks.append(thick[a:b])
+        if color is not None:
+            colors.append(color[a:b])
+    if with_colors:
+        return verts, thicks, (colors if color is not None else None)
     return verts, thicks
 
 
@@ -111,12 +127,18 @@ def _catmullrom_to_bezier_strand(cv: np.ndarray, radius: np.ndarray,
 
 
 def load_cyhair_as_bezier(path: str, name: str = "") -> CubicBezierCurveMesh:
-    """CyHair file -> CubicBezierCurveMesh (xyz + thickness control points)."""
-    verts, thicks = load_cyhair(path, y_up=True)
+    """CyHair file -> CubicBezierCurveMesh (xyz + thickness control points).
+
+    When the file carries a per-point color block, the mean RGB per strand
+    is surfaced on the mesh as ``strand_colors`` [num_strands, 3] — the
+    hair material can pick it up as a base-color override (the reference
+    parses the block but never consumes it, cyhair.cc:105-116)."""
+    verts, thicks, colors = load_cyhair(path, y_up=True, with_colors=True)
     all_pts = []
     indices = []
+    strand_colors = [] if colors is not None else None
     offset = 0
-    for cv, r in zip(verts, thicks):
+    for si, (cv, r) in enumerate(zip(verts, thicks)):
         if cv.shape[0] < 3:
             continue
         seg = _catmullrom_to_bezier_strand(cv, r)  # [S,4,4]
@@ -124,12 +146,17 @@ def load_cyhair_as_bezier(path: str, name: str = "") -> CubicBezierCurveMesh:
         all_pts.append(flat)
         indices.extend(range(offset, offset + flat.shape[0], 4))
         offset += flat.shape[0]
+        if strand_colors is not None:
+            strand_colors.append(colors[si].mean(axis=0))
     if not all_pts:
         raise ValueError(f"{path}: no usable strands")
-    return CubicBezierCurveMesh(
+    mesh = CubicBezierCurveMesh(
         vertices_thickness=np.concatenate(all_pts),
         indices=np.asarray(indices, np.int32),
         name=name or path)
+    if strand_colors is not None:
+        mesh.strand_colors = np.stack(strand_colors).astype(np.float32)
+    return mesh
 
 
 def make_demo_hair(num_strands=64, points_per_strand=8, seed=0,

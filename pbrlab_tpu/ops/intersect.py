@@ -357,7 +357,8 @@ def _closest_curve(scene, org, direction, min_t, max_t):
     from .pallas.dense_curve import dense_curve_trace
 
     res = dense_curve_trace(scene["dense_segs"], scene["dense_seg_aabb"],
-                            org, direction, min_t, max_t)
+                            org, direction, min_t, max_t,
+                            interpret=jax.default_backend() == "cpu")
     sub = res["sub"]
     fat = scene["curve_sub_fat"][jnp.maximum(sub, 0)]
     return {"t": res["t"], "u": res["u"], "v": res["v"],
@@ -374,7 +375,8 @@ def _occluded_curve(scene, org, direction, min_t, max_t):
     from .pallas.dense_curve import dense_curve_trace
 
     res = dense_curve_trace(scene["dense_segs"], scene["dense_seg_aabb"],
-                            org, direction, min_t, max_t, any_hit=True)
+                            org, direction, min_t, max_t, any_hit=True,
+                            interpret=jax.default_backend() == "cpu")
     return res["sub"] >= 0
 
 

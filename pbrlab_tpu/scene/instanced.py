@@ -16,7 +16,13 @@ per-instance id tables resolve materials and light params at hit time
   fat geometric attributes (normals, uvs, ~80 B/face) stay per-LOCAL-face
   and are rotated into world space per lane at shade time with the
   instance's normal matrix (scene.inst_shade);
-* light sampling uses world-space copies of EMISSIVE faces only.
+* light sampling uses world-space copies of EMISSIVE faces only;
+* curve (hair) meshes in a group are baked to world space per instance
+  (reference traces them in local space, raytracer_impl.cc:154-197; an
+  affine image of Bezier control points IS the transformed curve, so the
+  render is identical) — the shared structure is the triangle BLAS, which
+  dominates a local scene's memory; curve instance ids join the TLAS id
+  space so the SSS same-instance test spans both geometries.
 
 Memory: K instances of an F-face local scene cost K*F*32 B + F*(fat+BVH)
 instead of the baked path's K*F*(fat + geometry + BVH slots) — the
@@ -37,6 +43,7 @@ class SharedGroup:
     meshes: List[TriangleMesh]
     transforms: np.ndarray  # [K, 4, 4]
     light_ids: List[Optional[np.ndarray]]  # per mesh, shared by instances
+    curves: List = dataclasses.field(default_factory=list)
 
 
 def _affine(m):
@@ -56,10 +63,14 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
 
     groups: List[SharedGroup] = list(getattr(builder, "_shared", []))
     for inst in builder._instances:
-        assert not inst.curves, "hair in instanced scenes not supported yet"
         t = np.eye(4) if inst.transform is None else _affine(inst.transform)
-        groups.append(SharedGroup(inst.meshes, t[None], inst.light_ids))
+        groups.append(SharedGroup(inst.meshes, t[None], inst.light_ids,
+                                  inst.curves))
     assert groups, "no geometry"
+    tri_gis = [gi for gi, g in enumerate(groups)
+               if sum(m.num_faces for m in g.meshes) > 0]
+    assert tri_gis, ("curves-only scene: use the baked path (commit(b."
+                     "build())) — there is no triangle BLAS to share")
 
     scene: Dict[str, np.ndarray] = {}
 
@@ -68,14 +79,15 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
     node_aabb_blocks = []
     node_meta_blocks = []
     local_fat_rows = []
-    group_slot_base = []
-    group_num_slots = []
-    group_local_mat = []  # per slot
-    group_local_light = []  # per slot: light param id or -1
-    group_root_box = []
-    group_local_tris = []  # per slot [S, 3, 3] for emissive transforms
+    group_slot_base = {}
+    group_num_slots = {}
+    group_local_mat = {}  # per slot
+    group_local_light = {}  # per slot: light param id or -1
+    group_root_box = {}
+    group_local_tris = {}  # per slot [S, 3, 3] for emissive transforms
     s_running = 0
-    for g in groups:
+    for gi in tri_gis:
+        g = groups[gi]
         v_list, ns_list, has_ns_list, uv_list, has_uv_list = [], [], [], [], []
         mat_list, light_list = [], []
         for mi, mesh in enumerate(g.meshes):
@@ -127,17 +139,17 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
         packed_blocks.append(packed)
         node_aabb_blocks.append(naabb)
         node_meta_blocks.append(nmeta)
-        group_slot_base.append(s_running)
-        group_num_slots.append(s)
+        group_slot_base[gi] = s_running
+        group_num_slots[gi] = s
         mats = np.concatenate(mat_list)
         lights = np.concatenate(light_list)
-        group_local_mat.append(
+        group_local_mat[gi] = (
             np.where(order >= 0, mats[src], 0).astype(np.int32))
-        group_local_light.append(
+        group_local_light[gi] = (
             np.where(order >= 0, lights[src], -1).astype(np.int32))
-        group_root_box.append((naabb[0:3, 0].copy(), naabb[3:6, 0].copy()))
+        group_root_box[gi] = (naabb[0:3, 0].copy(), naabb[3:6, 0].copy())
         tris = np.stack([v0[src], e1[src], e2[src]], axis=1)  # [S, 3, 3]
-        group_local_tris.append(tris * valid[:, :, None])
+        group_local_tris[gi] = tris * valid[:, :, None]
         s_running += s
 
     packed_all = np.concatenate(packed_blocks, axis=1)
@@ -149,8 +161,10 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
     inst_fid_delta = []
     inst_bmin, inst_bmax = [], []
     iface_mat, iface_light, iface_inst, iface_slot = [], [], [], []
+    curve_jobs = []  # (curves, 4x4, instance id) — baked after the TLAS
     f_running = 0
-    for gi, g in enumerate(groups):
+    for gi in tri_gis:
+        g = groups[gi]
         s_base = group_slot_base[gi]
         s = group_num_slots[gi]
         for m4 in np.asarray(g.transforms, np.float64).reshape(-1, 4, 4):
@@ -175,9 +189,20 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
             iface_inst.append(np.full((s,), k, np.int32))
             iface_slot.append(
                 np.arange(s_base, s_base + s, dtype=np.int32))
+            if g.curves:
+                curve_jobs.append((g.curves, m4, k))
             f_running += s
 
     ki = len(inst_group)
+    # curve-only groups: instance ids continue past the TLAS ids (they feed
+    # only the SSS same-instance check; they never index an id table)
+    k_next = ki
+    for gi, g in enumerate(groups):
+        if gi in group_slot_base or not g.curves:
+            continue
+        for m4 in np.asarray(g.transforms, np.float64).reshape(-1, 4, 4):
+            curve_jobs.append((g.curves, m4, k_next))
+            k_next += 1
     inst_inv = np.stack(inst_inv_rows).T.astype(np.float32)  # [12, K]
     inst_shade = np.stack(inst_shade_rows).astype(np.float32)  # [K, 24]
     iface_mat = np.concatenate(iface_mat)
@@ -190,17 +215,18 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
         np.stack(inst_bmin).astype(np.float32),
         np.stack(inst_bmax).astype(np.float32))
     nt = tlas_right.shape[0]
-    blas_base = []
+    blas_base = {}
     off = nt
-    for gi in range(len(groups)):
-        blas_base.append(off)
-        off += node_meta_blocks[gi].shape[1]
+    for bi, gi in enumerate(tri_gis):
+        blas_base[gi] = off
+        off += node_meta_blocks[bi].shape[1]
     node_aabb = np.concatenate([tlas_aabb]
                                + node_aabb_blocks, axis=1).astype(np.float32)
     metas = [np.stack([
         np.where(tlas_right >= 0, tlas_right, -1),
         np.where(tlas_inst >= 0, -(tlas_inst + 1), 0)])]
-    for gi, nm in enumerate(node_meta_blocks):
+    for bi, gi in enumerate(tri_gis):
+        nm = node_meta_blocks[bi]
         right = np.where(nm[0] >= 0, nm[0] + blas_base[gi], -1)
         meta1 = np.where(nm[0] < 0, nm[1] + group_slot_base[gi], 0)
         metas.append(np.stack([right, meta1]))
@@ -248,7 +274,8 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
         em = light_emission[iface_light[emissive]]
         iface_emission[emissive] = em
         lslots = iface_slot[emissive]
-        ltris = np.concatenate(group_local_tris)[lslots]  # [LF, 3, 3]
+        ltris = np.concatenate(
+            [group_local_tris[gi] for gi in tri_gis])[lslots]  # [LF, 3, 3]
         a_rows = inst_shade[iface_inst[emissive], :12].reshape(-1, 3, 4)
         v0w = np.einsum("lij,lj->li", a_rows[:, :, :3],
                         ltris[:, 0]) + a_rows[:, :, 3]
@@ -291,13 +318,44 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
     else:
         scene["texture_atlas"] = np.zeros((1, 1, 1, 3), np.float32)
         scene["texture_sizes"] = np.ones((1, 2), np.int32)
-    scene["curve_pts"] = np.zeros((0, 4, 4), np.float32)
-    scene["curve_material"] = np.zeros((0,), np.int32)
-    scene["curve_instance"] = np.zeros((0,), np.int32)
+    # ---- curves: baked to world space per instance -----------------------
+    # The reference traces curve geometry inside local scenes under the
+    # instance transform like any other geometry (raytracer_impl.cc:154-197
+    # + :49-84); here the SHARED structure is the triangle BLAS — curve
+    # control points (4 floats/point, a small fraction of a local scene's
+    # fat+BVH bytes) are baked per instance, keeping the existing dense
+    # curve kernel and exact world-space radiometry.
+    from .scene import commit_curves, transform_curve_points
+
+    curve_pts, curve_mat, curve_inst = [], [], []
+    for curves, m4, k in curve_jobs:
+        for cm in curves:
+            from ..geometry.mesh import CubicBezierCurveMesh
+
+            vt = transform_curve_points(cm.vertices_thickness, m4)
+            baked = CubicBezierCurveMesh(vt, cm.indices,
+                                         material_id=cm.material_id,
+                                         name=cm.name)
+            curve_pts.append(baked.segment_points())
+            curve_mat.append(np.full((baked.num_segments,), cm.material_id,
+                                     np.int32))
+            curve_inst.append(np.full((baked.num_segments,), k, np.int32))
+    scene["curve_pts"] = (np.concatenate(curve_pts).astype(np.float32)
+                          if curve_pts else np.zeros((0, 4, 4), np.float32))
+    scene["curve_material"] = (np.concatenate(curve_mat) if curve_mat
+                               else np.zeros((0,), np.int32))
+    scene["curve_instance"] = (np.concatenate(curve_inst) if curve_inst
+                               else np.zeros((0,), np.int32))
     scene["aabb_min"] = node_aabb[0:3, 0].copy()
     scene["aabb_max"] = node_aabb[3:6, 0].copy()
+    if scene["curve_pts"].size:
+        cp = scene["curve_pts"].reshape(-1, 4)
+        scene["aabb_min"] = np.minimum(
+            scene["aabb_min"], (cp[:, :3] - cp[:, 3:4]).min(axis=0))
+        scene["aabb_max"] = np.maximum(
+            scene["aabb_max"], (cp[:, :3] + cp[:, 3:4]).max(axis=0))
 
     from .scene import _signature_cut
 
     scene["sig_aabb"] = _signature_cut(node_aabb, node_meta, max_nodes=29)
-    return scene
+    return commit_curves(scene)

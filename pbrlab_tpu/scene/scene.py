@@ -107,12 +107,14 @@ class SceneBuilder:
         return len(self._instances) - 1
 
     def add_shared_instances(self, meshes: List[TriangleMesh], transforms,
-                             light_ids=None) -> int:
+                             light_ids=None, curves=None) -> int:
         """K instances sharing ONE local scene (trace-time instancing:
         reference CreateLocalScene + K x CreateInstanceFromLocalScene,
         raytracer_impl.cc:49-84). transforms: [K, 4, 4] (or [K, 3, 4]).
-        Scenes with shared instances must be built with
-        `build_instanced(builder)` (scene.instanced)."""
+        Curve meshes in the local scene are baked to world space per
+        instance at build time (triangles keep the shared BLAS). Scenes
+        with shared instances must be built with `build_instanced(builder)`
+        (scene.instanced)."""
         from .instanced import SharedGroup
 
         t = np.asarray(transforms, np.float32)
@@ -121,7 +123,7 @@ class SceneBuilder:
                 np.asarray([0, 0, 0, 1], np.float32), (t.shape[0], 1, 4))
             t = np.concatenate([t, pad], axis=1)
         self._shared.append(SharedGroup(
-            meshes, t, light_ids or [None] * len(meshes)))
+            meshes, t, light_ids or [None] * len(meshes), curves or []))
         return len(self._shared) - 1
 
     # -- commit -----------------------------------------------------------
@@ -263,6 +265,12 @@ class SceneBuilder:
         curve_inst = []
         for inst_id, inst in enumerate(self._instances):
             for cm in inst.curves:
+                if inst.transform is not None:
+                    vt = transform_curve_points(cm.vertices_thickness,
+                                                inst.transform)
+                    cm = CubicBezierCurveMesh(vt, cm.indices,
+                                              material_id=cm.material_id,
+                                              name=cm.name)
                 curve_pts.append(cm.segment_points())
                 curve_mat.append(np.full((cm.num_segments,), cm.material_id,
                                          np.int32))
@@ -327,7 +335,6 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     Adds the flat threaded-BVH arrays consumed by ops.intersect.
     """
     from ..geometry.bvh import build_bvh, triangle_bounds
-    from ..ops.curves import flatten_curves, subsegment_bounds
     from ..ops.pallas.dense import pack_triangles
     from ..ops.pallas.dense_v5 import build_v5
 
@@ -405,10 +412,20 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         bvh.prim_ids >= 0, vslots[np.maximum(bvh.prim_ids, 0)],
         -1).astype(np.int32) if F else bvh.prim_ids
 
-    # hair: flatten Bezier segments into linear sub-segments; Morton-order
-    # them for the dense kernel (both backends share the sorted order)
+    return commit_curves(scene)
+
+
+def commit_curves(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Curve (hair) acceleration structures: flatten Bezier segments into
+    linear sub-segments, Morton-order them for the dense kernel, and build
+    the curve BVH. Shared by the baked `commit` and `build_instanced`
+    (reference: hair registered into local scenes exactly like triangles,
+    raytracer_impl.cc:154-197)."""
+    from ..geometry.bvh import build_bvh
+    from ..ops.curves import flatten_curves, subsegment_bounds
     from ..ops.pallas.dense_curve import pack_segments
 
+    scene = dict(scene)
     flat = flatten_curves(scene["curve_pts"])
     packed_segs, seg_aabb, seg_order = pack_segments(flat)
     if seg_order.size:
@@ -433,6 +450,24 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     scene["cbvh_prim_offset"] = cbvh.prim_offset
     scene["cbvh_prim_ids"] = cbvh.prim_ids
     return scene
+
+
+def transform_curve_points(vt: np.ndarray, m: Optional[np.ndarray]):
+    """Bake curve control points [P, 4] (xyz + radius) through a 4x4.
+
+    The reference traces curves in local space under the instance transform
+    (raytracer_impl.cc:154-197 + :49-84); baking the control points is the
+    equivalent world-space curve (affine images of Bezier control points
+    ARE the transformed curve). Radii scale by the mean singular value of
+    the linear part — exact for uniform scale + rotation; non-uniform
+    scale of a flat-curve radius is ill-defined in the reference too."""
+    if m is None:
+        return vt
+    m = np.asarray(m, np.float64)
+    out = np.asarray(vt, np.float32).copy()
+    out[:, :3] = (out[:, :3] @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
+    out[:, 3] *= float(np.mean(np.linalg.svd(m[:3, :3], compute_uv=False)))
+    return out
 
 
 def build_fat_tables(scene: Dict) -> Dict:
