@@ -53,8 +53,16 @@ async function buildEditor(){
   const m = await (await fetch('/materials')).json();
   let h = '';
   for (const [name, params] of Object.entries(m)) {
-    h += `<h4>${name}</h4><table>`;
+    const kind = params['kind'] ?? 0;
+    h += `<h4>${name}</h4>
+      <select id="${name}.__type">
+        <option value=0 ${kind==0?'selected':''}>cycles_principled_bsdf</option>
+        <option value=1 ${kind==1?'selected':''}>hair_bsdf</option>
+      </select>
+      <button onclick="replaceMat('${name}')">switch type / reset</button>
+      <table>`;
     for (const [p, v] of Object.entries(params)) {
+      if (p === 'kind') continue;
       const val = JSON.stringify(v);
       h += `<tr><td>${p}</td><td><input id="${name}.${p}" value='${val}'>
             <button onclick="edit('${name}','${p}')">set</button></td></tr>`;
@@ -68,6 +76,12 @@ async function edit(m, p){
   await fetch('/edit', {method:'POST',
     body: JSON.stringify({material:m, param:p, value:v})});
 }
+async function replaceMat(m){
+  const kind = parseInt(document.getElementById(m + '.__type').value);
+  await fetch('/replace', {method:'POST',
+    body: JSON.stringify({material:m, kind:kind, params:{}})});
+  setTimeout(buildEditor, 500);
+}
 buildEditor(); setInterval(tick, 1000); tick();
 </script></body></html>"""
 
@@ -80,8 +94,10 @@ class PreviewServer:
         self.r = renderer
         self.max_pass = max_pass
         self.editable = editable or [
-            "base_color", "roughness", "specular", "metallic",
-            "subsurface", "subsurface_radius", "subsurface_color"]
+            "kind", "base_color", "roughness", "specular", "metallic",
+            "subsurface", "subsurface_radius", "subsurface_color",
+            "hair_base_color", "melanin", "melanin_redness",
+            "hair_roughness", "azimuthal_roughness", "shift"]
         self._png = b""
         self._lock = threading.Lock()
         self._stop = False
@@ -155,6 +171,14 @@ class PreviewServer:
                 if self.path.startswith("/edit"):
                     e = json.loads(payload)
                     srv.r.queue_edit(e["material"], e["param"], e["value"])
+                    self._send(200, b"{}", "application/json")
+                elif self.path.startswith("/replace"):
+                    # whole-material replacement incl. type switch
+                    # (glfw-window.cc:960-975 / pc-common.h EditQueue
+                    # MaterialParameter payload)
+                    e = json.loads(payload)
+                    srv.r.queue_material_replace(
+                        e["material"], int(e["kind"]), e.get("params"))
                     self._send(200, b"{}", "application/json")
                 elif self.path.startswith("/rerender"):
                     srv.r.rerender()

@@ -52,6 +52,20 @@ BACK = 1
 AMBIGUOUS = 2
 
 
+def _ablations() -> frozenset:
+    """Profiling-only stage ablations, read at TRACE time from
+    PBRLAB_ABLATE (comma list). XLA fuses the whole step, so isolated
+    stage probes mis-state costs; the honest per-stage budget is
+    full-step minus step-with-stage-removed (scripts/step_profile.py).
+    Empty (the default, and any normal render) = exact normal behavior.
+
+    Flags: notrace nonee noshadow noclosure noshade novolume noemis"""
+    import os
+
+    return frozenset(
+        filter(None, os.environ.get("PBRLAB_ABLATE", "").split(",")))
+
+
 class PathState(NamedTuple):
     org: jnp.ndarray  # [N,3]
     direction: jnp.ndarray  # [N,3]
@@ -292,9 +306,12 @@ def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
     hemisphere_ok = is_hair | ((wl_dot_nl > 0.0) & (wl_dot_np > 0.0))
     candidate = shade_mask & light.valid & hemisphere_ok & (pdf_sigma > 0.0)
     shadow_max = jnp.maximum(EPS, dist - EPS)
-    occluded = occluded_scene(
-        scene, pos, wl, jnp.full_like(dist, EPS),
-        jnp.where(candidate, shadow_max, -1.0))
+    if "noshadow" in _ablations():  # profiling: NEE minus the shadow trace
+        occluded = pdf_sigma < -1.0
+    else:
+        occluded = occluded_scene(
+            scene, pos, wl, jnp.full_like(dist, EPS),
+            jnp.where(candidate, shadow_max, -1.0))
     omega_l = to_local(wl, ex, ey, ez)
     f, pdf_b = principled.eval_bsdf(omega_l, omega_out_local, bsdf)
     if hair_b is not None:
@@ -329,18 +346,35 @@ def wavefront_step(scene, state: PathState, depth: int,
     every full step.
     """
     n = state.org.shape[0]
+    abl = _ablations()
+    if "norng" in abl:  # profiling: PCG draw cost (streams break; timing only)
+        def draw_n(rs, k):
+            return rs, tuple(
+                jnp.full((n,), 0.4 + 0.01 * i, jnp.float32) + rs * 0.0
+                for i in range(k))
+
+        def draw(rs):
+            return rs, jnp.full((n,), 0.5, jnp.float32) + rs * 0.0
+    else:
+        draw_n, draw = prng.draw_n, prng.draw
     surface_mode = state.mode == MODE_SURFACE
     volume_mode = state.mode == MODE_VOLUME
 
     # ---- pre-trace: volume direction + distance draws (fixed budget) ----
-    rng_state, us = prng.draw_n(state.rng, 4)
+    rng_state, us = draw_n(state.rng, 4)
     ud1, ud2, uc, ut = us
     wi_sphere = uniform_sample_sphere(ud1, ud2)
     need_new_dir = volume_mode & ~state.vol_first
+    if "novolume" in abl:
+        need_new_dir = jnp.zeros_like(need_new_dir)
     direction = jnp.where(need_new_dir[..., None], wi_sphere, state.direction)
     min_t = jnp.where(need_new_dir, 0.0, state.min_t)
-    t_scatter, channel_pdf = sample_scatter_distance(
-        state.sss_tp, state.sss_sigma_s, state.sss_sigma_t, uc, ut)
+    if "novolume" in abl:
+        t_scatter = jnp.full((n,), INF, jnp.float32)
+        channel_pdf = jnp.ones((n, 3), jnp.float32)
+    else:
+        t_scatter, channel_pdf = sample_scatter_distance(
+            state.sss_tp, state.sss_sigma_s, state.sss_sigma_t, uc, ut)
     # detached-sample / detached-denominator estimator: with the SAMPLE
     # value detached, dividing by a LIVE pdf is a biased surrogate (its
     # expectation picks up -E[f d(log p)]; measured: subsurface_radius
@@ -353,9 +387,17 @@ def wavefront_step(scene, state: PathState, depth: int,
     max_t = jnp.where(state.alive, max_t, -1.0)  # dead lanes: no traversal
 
     # ---- one closest-hit trace for all lanes (triangles + hair) ----
-    hit = jax.tree_util.tree_map(
-        lax.stop_gradient,
-        trace_scene(scene, state.org, direction, min_t, max_t))
+    if "notrace" in abl:  # profiling: step cost minus the closest hit
+        hit = {"t": jnp.abs(direction[:, 0]) + 2.0,
+               "u": jnp.abs(min_t), "v": jnp.abs(min_t),
+               "prim": (state.lane % 7).astype(jnp.int32),
+               "seg": jnp.full((n,), -1, jnp.int32),
+               "is_curve": jnp.zeros((n,), bool),
+               "tangent": jnp.zeros((n, 3), jnp.float32)}
+    else:
+        hit = jax.tree_util.tree_map(
+            lax.stop_gradient,
+            trace_scene(scene, state.org, direction, min_t, max_t))
     prim = hit["prim"]
     is_curve = hit["is_curve"]
     hit_ok = (prim >= 0) | is_curve
@@ -370,7 +412,10 @@ def wavefront_step(scene, state: PathState, depth: int,
     pos = state.org + t_shade[..., None] * direction
     # ONE fat-row gather per lane covers every per-face attribute; the
     # geometric slices are stop-gradiented below, emission stays live
-    frow = _fetch_face_fat(scene, safe_prim)
+    if "noshade" in abl:  # profiling: cost of the attribute gathers
+        frow = jnp.zeros((n, 26), jnp.float32) + hit["t"][:, None] * 1e-30
+    else:
+        frow = _fetch_face_fat(scene, safe_prim)
     ng, ns, uv = _surface_attribs(frow, hit["u"], hit["v"])
     # curve hits deliver the tangent through the normal slot
     # (scene.cc:222-224, hair-shader.cc:165)
@@ -405,10 +450,11 @@ def wavefront_step(scene, state: PathState, depth: int,
     mis_w = jnp.where(state.first, 1.0,
                       power_heuristic_weight(state.bsdf_pdf, pdf_area * a2sa))
     add_em = s_alive & hit_ok & ~is_curve & (face_dir == FRONT) & has_em
-    contribution = contribution + jnp.where(
-        add_em[..., None], mis_w[..., None] * emission * throughput, 0.0)
+    if "noemis" not in abl:
+        contribution = contribution + jnp.where(
+            add_em[..., None], mis_w[..., None] * emission * throughput, 0.0)
 
-    rng_state, urr = prng.draw(rng_state)
+    rng_state, urr = draw(rng_state)
     rr_p = spectrum_norm(throughput)
     rr_die = rr_p < urr
     throughput = jnp.where(
@@ -418,32 +464,42 @@ def wavefront_step(scene, state: PathState, depth: int,
 
     # ================== VOLUME lanes: one walk step ======================
     v_alive = alive & volume_mode
-    trans = jnp.exp(-state.sss_sigma_t * t_eff[..., None])
-    # pdf DENOMINATORS detached (see t_scatter note above); numerators
-    # trans / sigma_s stay live so radius/albedo gradients flow
-    pdf_hit = lax.stop_gradient(vdot(channel_pdf, trans))
-    pdf_scatter = lax.stop_gradient(
-        vdot(channel_pdf, state.sss_sigma_t * trans))
-    sss_tp_hit = state.sss_tp * trans / jnp.maximum(pdf_hit, 1e-12)[..., None]
-    sss_tp_scat = (state.sss_tp * (state.sss_sigma_s * trans)
-                   / jnp.maximum(pdf_scatter, 1e-12)[..., None])
-    sss_tp = jnp.where(hit_ok[..., None], sss_tp_hit, sss_tp_scat)
+    rng_state, uvrr = draw(rng_state)
+    if "novolume" in abl:  # profiling: volume-walk math removed
+        sss_tp = state.sss_tp
+        exit_ok = jnp.zeros_like(v_alive)
+        v_dead_exit = jnp.zeros_like(v_alive)
+        v_scatter = jnp.zeros_like(v_alive)
+        v_rr_die = jnp.zeros_like(v_alive)
+    else:
+        trans = jnp.exp(-state.sss_sigma_t * t_eff[..., None])
+        # pdf DENOMINATORS detached (see t_scatter note above); numerators
+        # trans / sigma_s stay live so radius/albedo gradients flow
+        pdf_hit = lax.stop_gradient(vdot(channel_pdf, trans))
+        pdf_scatter = lax.stop_gradient(
+            vdot(channel_pdf, state.sss_sigma_t * trans))
+        sss_tp_hit = (state.sss_tp * trans
+                      / jnp.maximum(pdf_hit, 1e-12)[..., None])
+        sss_tp_scat = (state.sss_tp * (state.sss_sigma_s * trans)
+                       / jnp.maximum(pdf_scatter, 1e-12)[..., None])
+        sss_tp = jnp.where(hit_ok[..., None], sss_tp_hit, sss_tp_scat)
 
-    exit_ok = (v_alive & hit_ok & ~is_curve
-               & (hit_instance == state.sss_instance)
-               & (face_dir == BACK))
-    # invalid exit (other instance / not backface) kills the path
-    # (random-walk-sss.h:371-384 -> pdf 0 -> black)
-    v_dead_exit = v_alive & hit_ok & ~exit_ok
+        exit_ok = (v_alive & hit_ok & ~is_curve
+                   & (hit_instance == state.sss_instance)
+                   & (face_dir == BACK))
+        # invalid exit (other instance / not backface) kills the path
+        # (random-walk-sss.h:371-384 -> pdf 0 -> black)
+        v_dead_exit = v_alive & hit_ok & ~exit_ok
 
-    # scatter lanes: volume russian roulette (random-walk-sss.h:349-358)
-    rng_state, uvrr = prng.draw(rng_state)
-    v_scatter = v_alive & ~hit_ok
-    # RR survival probability: detached denominator (same estimator rule)
-    pv = lax.stop_gradient(saturate(spectrum_norm(sss_tp)))
-    v_rr_die = v_scatter & (uvrr >= pv)
-    sss_tp = jnp.where(v_scatter[..., None],
-                       sss_tp / jnp.maximum(pv, 1e-12)[..., None], sss_tp)
+        # scatter lanes: volume russian roulette
+        # (random-walk-sss.h:349-358); RR survival probability uses a
+        # detached denominator (same estimator rule)
+        v_scatter = v_alive & ~hit_ok
+        pv = lax.stop_gradient(saturate(spectrum_norm(sss_tp)))
+        v_rr_die = v_scatter & (uvrr >= pv)
+        sss_tp = jnp.where(v_scatter[..., None],
+                           sss_tp / jnp.maximum(pv, 1e-12)[..., None],
+                           sss_tp)
 
     # ===================== SHADE (surface hit or SSS exit) ===============
     is_exit = exit_ok
@@ -458,7 +514,15 @@ def wavefront_step(scene, state: PathState, depth: int,
                            tri_mat_id)
     else:
         mat_id = tri_mat_id
-    mat = _gather_material(scene, mat_id)
+    if "noshade" in abl:
+        from ..scene.materials import unpack_material_rows
+
+        mrow = (jnp.broadcast_to(scene["mat_fat"][0:1],
+                                 (n, scene["mat_fat"].shape[1]))
+                + mat_id[:, None] * 1e-30)
+        mat = unpack_material_rows(mrow)
+    else:
+        mat = _gather_material(scene, mat_id)
     hair_lane = is_curve & (mat["kind"] == KIND_HAIR) & s_shade
 
     # principled frame: ez = front ? ns : -ns (cycles-principled-shader.cc
@@ -480,7 +544,10 @@ def wavefront_step(scene, state: PathState, depth: int,
     # geometric normal for NEE terms: ez for principled, tangent for hair
     geom_normal = jnp.where(hl, ex_h, ez_p)
 
-    base_color, sub_color = _fetch_colors(scene, mat, uv)
+    if "noshade" in abl:
+        base_color, sub_color = mat["base_color"], mat["subsurface_color"]
+    else:
+        base_color, sub_color = _fetch_colors(scene, mat, uv)
     bsdf = principled.param_to_bsdf(mat, base_color, sub_color)
     exit_bsdf = principled.diffuse_only_bsdf(sss_tp)
     bsdf = jax.tree_util.tree_map(
@@ -497,17 +564,24 @@ def wavefront_step(scene, state: PathState, depth: int,
         hair_b = None
 
     # --- NEE ---
-    rng_state, un = prng.draw_n(rng_state, 3)
-    nee = _nee(scene, pos, geom_normal, omega_out, ex, ey, ez, bsdf, hair_b,
-               hair_lane, un[0], un[1], un[2], shade_mask)
-    contribution = contribution + jnp.where(shade_mask[..., None],
-                                            throughput * nee, 0.0)
+    rng_state, un = draw_n(rng_state, 3)
+    if "nonee" not in abl:
+        nee = _nee(scene, pos, geom_normal, omega_out, ex, ey, ez, bsdf,
+                   hair_b, hair_lane, un[0], un[1], un[2], shade_mask)
+        contribution = contribution + jnp.where(shade_mask[..., None],
+                                                throughput * nee, 0.0)
 
     # --- closure sampling (principled: 3 draws; hair: 4,
     #     hair-shader.cc:207-211) ---
-    rng_state, ub = prng.draw_n(rng_state, 4)
-    omega_in, f, pdf_b, pick_sss_raw = principled.sample_surface(
-        omega_out, bsdf, ub[0], ub[1], ub[2])
+    rng_state, ub = draw_n(rng_state, 4)
+    if "noclosure" in abl:  # profiling: closure sample/eval math removed
+        omega_in = omega_out
+        f = jnp.ones((n, 3), jnp.float32) * (1.0 + ub[0][:, None] * 1e-30)
+        pdf_b = jnp.ones((n,), jnp.float32)
+        pick_sss_raw = jnp.zeros((n,), bool)
+    else:
+        omega_in, f, pdf_b, pick_sss_raw = principled.sample_surface(
+            omega_out, bsdf, ub[0], ub[1], ub[2])
     # SSS entry is only valid from front faces (random-walk-sss.h:236-239);
     # back-face SSS picks terminate the path.
     pick_sss = pick_sss_raw & s_shade & (face_dir == FRONT) & ~hair_lane
@@ -516,7 +590,7 @@ def wavefront_step(scene, state: PathState, depth: int,
     # surface continuation (non-SSS): throughput *= f cos / pdf
     cos_i = jnp.abs(omega_in[..., 2])
     factor = f * (cos_i / jnp.maximum(pdf_b, 1e-12))[..., None]
-    if with_hair:
+    if with_hair and "noclosure" not in abl:
         wi_h, fh_cos, pdf_h = hair_mod.sample(omega_out, hair_b, ub[0],
                                               ub[1], ub[2], ub[3])
         omega_in = jnp.where(hl, wi_h, omega_in)
@@ -674,28 +748,28 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
 def render_lanes_wavefront(scene, width: int, height: int, spp: int,
                            seed=0, max_steps: int = 32, lane=None,
                            sort_every: int = 1, k_volume: int = 0,
-                           pixels_per_lane: int | None = None):
-    """Full-occupancy forward render: persistent lanes + job refill.
+                           n_lanes: int | None = None,
+                           return_iters: bool = False):
+    """Full-occupancy forward render: persistent lanes + a dynamic pixel
+    work queue.
 
-    The reference keeps its threads busy by handing each one tile x sample
-    jobs from an atomic counter (/root/reference/src/render.cc:203-222).
-    The wavefront analogue: each lane owns K = pixels_per_lane STRIDED
-    pixels (lane L -> pixels L, L+n_lanes, ...) and walks their spp
-    samples in a fixed job order; the moment a path dies the lane refills
-    with the next job, so the trace kernels and shading stages run at
-    ~100% occupancy, and striding averages heavy pixels (deep SSS paths)
-    against light ones — a lane's total work is a K*spp-job mean, which
-    kills the worst-pixel tail that per-pixel ownership would serialize.
-    The whole render is ONE lax.while_loop that ends when every lane
-    exhausts its jobs.
+    The reference keeps its threads busy by handing out tile x sample jobs
+    from an atomic counter (/root/reference/src/render.cc:203-222). The
+    SPMD analogue: a global `next_pixel` cursor rides the loop carry; the
+    moment a lane finishes the last sample of its pixel it claims the next
+    unclaimed pixel (rank among same-iteration claimants via a cumsum — the
+    wavefront's "atomic fetch-add"). Static K-pixel ownership was tried
+    first and left a 1.9x worst-lane tail on the 1024^2 bench (6645
+    iterations vs ~3500 of mean work): heavy SSS pixels serialize on
+    whichever lane owns them. With claiming, the tail is bounded by ONE
+    pixel's spp-sequential duration instead of a worst lane's whole set.
 
-    Deterministic at any FIXED K / lane permutation / sharding layout:
-    each pixel's samples are processed by exactly one lane in increasing-
-    sample order and flushed into the framebuffer one completed sample at
-    a time — the same float addition order as the spp scan. (Changing K —
-    or comparing against render_scan — can move bits by ~1 ulp because
-    XLA fuses differently-shaped programs differently, the same variance
-    as scan-vs-unrolled; the per-path math is identical.)
+    Deterministic and layout-invariant: a pixel's spp samples are
+    processed by exactly one lane in increasing-sample order (claims are
+    whole pixels), each sample's RNG stream is a pure function of
+    (pixel, sample, seed), and the framebuffer row for a pixel therefore
+    accumulates the same values in the same order regardless of lane
+    count, claim schedule, permutation, or sharding layout.
 
     Forward-only (while_loop is not reverse-differentiable; gradients use
     render_lanes). Returns summed radiance [n_pixels, 3] (divide by spp
@@ -709,41 +783,50 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
         scene = build_fat_tables(scene)
     pixel_ids = lane
     n = width * height if lane is None else lane.shape[0]
-    if pixels_per_lane is None:
-        pixels_per_lane = int(os.environ.get(
-            "PBRLAB_PPL", max(1, min(16, n // 65536))))
+    if n_lanes is None:
+        n_lanes = int(os.environ.get("PBRLAB_LANES", "65536"))
+    n_lanes = max(1, min(n, n_lanes))
     sort_every = int(os.environ.get("PBRLAB_SORT_EVERY", sort_every))
-    k = pixels_per_lane
-    n_lanes = (n + k - 1) // k
-    n_jobs = k * spp
 
-    init_pix = jnp.arange(n_lanes, dtype=jnp.int32)
-    if pixel_ids is not None:
-        init_pix = pixel_ids[init_pix]
+    init_pix_local = jnp.arange(n_lanes, dtype=jnp.int32)
+    init_pix = (init_pix_local if pixel_ids is None
+                else pixel_ids[init_pix_local])
     state = init_state(scene, width, height, jnp.uint32(0), seed, init_pix)
+    # state.lane = currently claimed LOCAL pixel; state.sample = sample
+    # index within that pixel; sample == spp marks a retired lane.
 
-    def cur_pixel_local(state):
-        return state.lane + (state.sample // spp) * n_lanes
+    def refill(state, fb, next_pixel):
+        """Flush finished samples; advance sample or claim a new pixel.
 
-    def refill(state, fb):
-        """Flush dead lanes' finished samples; start their next job."""
-        j = state.sample
-        p_cur = cur_pixel_local(state)
-        flush = ~state.alive
+        (A carried per-lane accumulator was tried instead of the
+        per-iteration fb scatter-add: widening the compacted state made
+        the whole render 15% SLOWER although the scatter is ~1.1 ms
+        isolated — the scatter overlaps the kernels; the wider state
+        does not. Measured 512^2/16spp: 3.05 s vs 3.52 s.)"""
+        flush = ~state.alive & (state.sample < spp)
         contrib = jnp.where(
             flush[..., None] & jnp.isfinite(state.contribution),
             state.contribution, 0.0)
-        fb = fb.at[jnp.minimum(p_cur, n - 1)].add(contrib)
+        fb = fb.at[jnp.minimum(state.lane, n - 1)].add(contrib)
         contribution = jnp.where(flush[..., None], 0.0, state.contribution)
 
-        jn = j + 1
-        p_nxt = state.lane + (jn // spp) * n_lanes
-        need = flush & (jn < n_jobs) & (p_nxt < n)
-        j2 = jnp.where(need, jn, j)
-        p_loc = jnp.where(need, p_nxt, p_cur)
+        sn = state.sample + 1
+        adv = flush & (sn < spp)  # next sample of the same pixel
+        want = flush & (sn >= spp)  # pixel finished: claim the next one
+        rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+        newp = next_pixel + rank
+        got = want & (newp < n)
+        p_loc = jnp.where(got, newp, state.lane)
+        s2 = jnp.where(adv, sn,
+                       jnp.where(got, 0,
+                                 jnp.where(want, spp, state.sample)))
+        need = adv | got
+        next_pixel = jnp.minimum(
+            next_pixel + want.sum(dtype=jnp.int32), jnp.int32(n))
+
         pixel = p_loc if pixel_ids is None else pixel_ids[
             jnp.minimum(p_loc, n - 1)]
-        s = (j2 % spp).astype(jnp.uint32)
+        s = (s2 % spp).astype(jnp.uint32)
         rng0 = prng.seed_state(pixel.astype(jnp.uint32), s, seed)
         rng0, (u1, u2) = prng.draw_n(rng0, 2)
         org0, dir0 = generate_rays(scene, width, height, u1, u2, pixel)
@@ -759,20 +842,26 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
             first=state.first | need,
             mode=jnp.where(need, MODE_SURFACE, state.mode),
             vol_first=state.vol_first & ~need,
-            sample=j2,
+            lane=p_loc,
+            sample=s2,
             depth=jnp.where(need, 0, state.depth).astype(jnp.int32),
             contribution=contribution,
-        ), fb
+        ), fb, next_pixel
+
+    # generous iteration cap (each pixel costs <= spp * max_steps *
+    # (1 + k_volume) iterations on one lane; claims overlap lanes)
+    cap = jnp.int32(min(2**31 - 1,
+                        spp * max_steps * (1 + k_volume)
+                        * ((n + n_lanes - 1) // n_lanes + 2)))
 
     def cond(carry):
-        state, fb, it = carry
-        jn = state.sample + 1
-        more = (jn < n_jobs) & (state.lane + (jn // spp) * n_lanes < n)
-        return jnp.any(state.alive | more) & (it < n_jobs * max_steps)
+        state, fb, next_pixel, it = carry
+        pending = ~state.alive & (state.sample < spp)
+        return jnp.any(state.alive | pending) & (it < cap)
 
     def body(carry):
-        state, fb, it = carry
-        state, fb = refill(state, fb)
+        state, fb, next_pixel, it = carry
+        state, fb, next_pixel = refill(state, fb, next_pixel)
         stepped = state.alive
         state = wavefront_step(scene, state, 0)
         if k_volume:
@@ -787,19 +876,30 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
         depth = jnp.where(stepped, state.depth + 1, state.depth)
         state = state._replace(
             depth=depth, alive=state.alive & (depth < max_steps))
-        if sort_every:
+        if sort_every == 1 and os.environ.get("PBRLAB_SORT_DIRECT",
+                                              "1") == "1":
+            # unconditional: wrapping the always-true case in lax.cond
+            # copies the whole state through both branches
+            state = compact_state(state, scene)
+        elif sort_every:
             state = lax.cond(
                 (it + 1) % sort_every == 0,
                 lambda st: compact_state(st, scene),
                 lambda st: st, state)
-        return state, fb, it + 1
+        return state, fb, next_pixel, it + 1
 
     fb0 = jnp.zeros((n, 3), jnp.float32)
-    state, fb, _ = lax.while_loop(cond, body, (state, fb0, jnp.int32(0)))
-    # final flush: the last job of each lane dies with the loop
-    contrib = jnp.where(jnp.isfinite(state.contribution),
-                        state.contribution, 0.0)
-    return fb.at[jnp.minimum(cur_pixel_local(state), n - 1)].add(contrib)
+    state, fb, _, iters = lax.while_loop(
+        cond, body, (state, fb0, jnp.int32(n_lanes), jnp.int32(0)))
+    # safety flush (loop normally retires every lane with its
+    # contribution already flushed; this covers a cap exit)
+    contrib = jnp.where(
+        ((state.sample < spp) & ~state.alive)[..., None]
+        & jnp.isfinite(state.contribution), state.contribution, 0.0)
+    fb = fb.at[jnp.minimum(state.lane, n - 1)].add(contrib)
+    if return_iters:
+        return fb, iters
+    return fb
 
 
 def scene_has_sss(scene) -> bool:

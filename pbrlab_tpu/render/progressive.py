@@ -38,6 +38,19 @@ class Edit:
     value: object
 
 
+@dataclasses.dataclass
+class ReplaceEdit:
+    """Whole-material replacement, including the variant type — the
+    EditQueue's MaterialParameter payload (pc/pc-common.h:14-81; the GUI
+    switches a material between Principled and Hair through it,
+    glfw-window.cc:960-975). kind: materials.KIND_*; params: any subset
+    of the type's columns, the rest reset to the reference defaults."""
+
+    material: str
+    kind: int
+    params: Dict
+
+
 class ProgressiveRenderer:
     """Accumulates passes; applies queued edits between passes."""
 
@@ -59,14 +72,38 @@ class ProgressiveRenderer:
     def queue_edit(self, material: str, param: str, value) -> None:
         self._edit_queue.append(Edit(material, param, value))
 
+    def queue_material_replace(self, material: str, kind: int,
+                               params: Optional[Dict] = None) -> None:
+        """Replace the whole material — type switch included
+        (glfw-window.cc:960-975 semantics). Unspecified parameters reset
+        to the reference defaults of material-param.h."""
+        self._edit_queue.append(ReplaceEdit(material, kind, params or {}))
+
     def _apply_edits(self) -> bool:
         if not self._edit_queue:
             return False
         import jax.numpy as jnp
 
+        from ..scene.materials import ALL_COLUMNS
+
         mats = dict(self.scene["materials"])
         for e in self._edit_queue:
             idx = self.material_names.index(e.material)
+            if isinstance(e, ReplaceEdit):
+                row = {"kind": e.kind, "base_color_tex_id": -1,
+                       "subsurface_color_tex_id": -1}
+                for key, default, _ in ALL_COLUMNS:
+                    row[key] = e.params.get(key, default)
+                unknown = set(e.params) - set(row)
+                if unknown:
+                    raise ValueError(f"unknown params: {sorted(unknown)}")
+                for key, val in row.items():
+                    col = mats[key]
+                    v = jnp.asarray(val, col.dtype)
+                    if col.ndim > 1:
+                        v = jnp.broadcast_to(v, col.shape[1:])
+                    mats[key] = col.at[idx].set(v)
+                continue
             col = mats[e.param]
             val = jnp.asarray(e.value, col.dtype)
             mats[e.param] = col.at[idx].set(val)
