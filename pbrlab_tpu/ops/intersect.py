@@ -222,7 +222,7 @@ def _tri_backend(scene) -> str:
 
     mode = os.environ.get("PBRLAB_TRACE_BACKEND", "auto")
     if mode in ("dense", "dense2", "dense3", "dense4", "dense5", "dense5l",
-                "dense5i", "bvh"):
+                "dense5s", "dense5i", "bvh"):
         return "dense" if mode == "dense2" else mode
     if "i5_tris" in scene:
         # instanced scenes have no baked world-space arrays: the two-level
@@ -232,7 +232,10 @@ def _tri_backend(scene) -> str:
         # v4's flat XLA cull is O(N_rays x M_clusters) — fastest while M
         # is small (measured +6% over v5 on the 122-cluster cornellbox);
         # the v5 packet traversal scales O(log M) and takes over beyond;
-        # past the SMEM triangle budget the leaf-DMA variant takes over
+        # past the SMEM triangle budget the subtree-scheduled leaf-DMA
+        # path takes over (v5s; ~3.4x over plain v5l on incoherent rays)
+        if "v5s_roots" in scene:
+            return "dense5s"
         if "dense_tris_v5l" in scene:
             return "dense5l"
         if scene["dense_cluster_aabb_v4"].shape[1] <= 256:
@@ -263,6 +266,14 @@ def _closest_tri(scene, org, direction, min_t, max_t):
         return dense_trace_v5i(
             scene["i5_tris"], scene["i5_node_aabb"], scene["i5_node_meta"],
             scene["i5_inst_inv"], scene["i5_inst_meta"],
+            org, direction, min_t, max_t,
+            interpret=jax.default_backend() == "cpu")
+    if backend == "dense5s":
+        from .pallas.dense_v5 import dense_trace_v5s
+
+        return dense_trace_v5s(
+            scene["dense_tris_v5l"], scene["v5_node_aabb"],
+            scene["v5_node_meta"], scene["v5s_roots"], scene["v5s_aabb"],
             org, direction, min_t, max_t,
             interpret=jax.default_backend() == "cpu")
     if backend == "dense5l":
@@ -306,6 +317,15 @@ def _occluded_tri(scene, org, direction, min_t, max_t):
         res = dense_trace_v5i(
             scene["i5_tris"], scene["i5_node_aabb"], scene["i5_node_meta"],
             scene["i5_inst_inv"], scene["i5_inst_meta"],
+            org, direction, min_t, max_t, any_hit=True,
+            interpret=jax.default_backend() == "cpu")
+        return res["prim"] >= 0
+    if backend == "dense5s":
+        from .pallas.dense_v5 import dense_trace_v5s
+
+        res = dense_trace_v5s(
+            scene["dense_tris_v5l"], scene["v5_node_aabb"],
+            scene["v5_node_meta"], scene["v5s_roots"], scene["v5s_aabb"],
             org, direction, min_t, max_t, any_hit=True,
             interpret=jax.default_backend() == "cpu")
         return res["prim"] >= 0

@@ -380,12 +380,16 @@ def leaf_major(packed: np.ndarray, cluster: int = CLUSTER) -> np.ndarray:
             m, 12 * cluster // 128, 128)
 
 
-def _trace_kernel_dma(ray_ref, tri_hbm, naabb_ref, nmeta_ref, out_ref,
-                      leaf_buf, sem, stk_id, stk_tn, *, any_hit, cluster):
+def _trace_kernel_dma(ray_ref, tri_hbm, naabb_ref, nmeta_ref, roots_ref,
+                      out_ref, leaf_buf, sem, stk_id, stk_tn, *, any_hit,
+                      cluster):
     """V5 packet traversal with leaf-DMA double buffering.
 
     tri_hbm [M, 3, 128] (ANY; leaf_major layout). leaf_buf [2, 3, 128]
-    SMEM scratch; sem: 2 DMA semaphores. Other refs as _trace_kernel.
+    SMEM scratch; sem: 2 DMA semaphores. roots_ref [G] SMEM: per-group
+    traversal ROOT node (0 = whole tree; the subtree-scheduled path
+    dense_trace_v5s restricts each sorted group to its rays' common
+    subtree). Other refs as _trace_kernel.
     """
     ox = ray_ref[0, 0]
     oy = ray_ref[0, 1]
@@ -411,7 +415,7 @@ def _trace_kernel_dma(ray_ref, tri_hbm, naabb_ref, nmeta_ref, out_ref,
     best_p = zero - 1.0
 
     gmax = jnp.max(best_t)
-    stk_id[0] = jnp.int32(0)
+    stk_id[0] = roots_ref[pl.program_id(0)]
     stk_tn[0] = jnp.float32(-1e30)
     sp0 = jnp.where(gmax >= 0.0, jnp.int32(1), jnp.int32(0))
 
@@ -588,9 +592,11 @@ def _trace_kernel_dma(ray_ref, tri_hbm, naabb_ref, nmeta_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
 def dense_trace_v5l(packed_leaf, node_aabb, node_meta, org, direction,
-                    min_t, max_t, any_hit=False, interpret=False):
+                    min_t, max_t, any_hit=False, interpret=False,
+                    group_roots=None):
     """Large-scene trace: packed_leaf [M, 3, 128] (leaf_major) stays off
-    SMEM. Same contract as dense_trace_v5."""
+    SMEM. Same contract as dense_trace_v5. group_roots [ceil(N/GROUP)]
+    optionally restricts each 1024-ray group to a subtree root."""
     n = org.shape[0]
     n_pad = (n + GROUP - 1) // GROUP * GROUP
     pad = n_pad - n
@@ -603,6 +609,8 @@ def dense_trace_v5l(packed_leaf, node_aabb, node_meta, org, direction,
     max_t = jnp.minimum(max_t, INF)
 
     G = n_pad // GROUP
+    if group_roots is None:
+        group_roots = jnp.zeros((G,), jnp.int32)
     rays = jnp.stack([org[:, 0], org[:, 1], org[:, 2], direction[:, 0],
                       direction[:, 1], direction[:, 2], min_t, max_t])
     rays = rays.reshape(8, G, 8, 128).transpose(1, 0, 2, 3)
@@ -619,6 +627,8 @@ def dense_trace_v5l(packed_leaf, node_aabb, node_meta, org, direction,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(node_meta.shape, lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((G,), lambda g: (0,),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, 8, 128), lambda g: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -630,7 +640,8 @@ def dense_trace_v5l(packed_leaf, node_aabb, node_meta, org, direction,
             pltpu.SMEM((STACK,), jnp.float32),
         ],
         interpret=interpret,
-    )(rays, packed_leaf, node_aabb, node_meta)
+    )(rays, packed_leaf, node_aabb, node_meta,
+      group_roots.astype(jnp.int32))
 
     out = out.transpose(1, 0, 2, 3).reshape(8, n_pad)
     hit = out[4, :n] > 0.0
@@ -639,4 +650,200 @@ def dense_trace_v5l(packed_leaf, node_aabb, node_meta, org, direction,
         "u": out[1, :n],
         "v": out[2, :n],
         "prim": jnp.where(hit, out[3, :n].astype(jnp.int32), -1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# V5S: subtree-scheduled tracing for LARGE scenes with INCOHERENT rays.
+#
+# The packet kernels collapse when a 1024-ray group decoheres: at 42k
+# triangles an incoherent signature-sorted group still visits 654/1815
+# leaves, so every ray pays ~36% of the scene in triangle tests
+# (ARCHITECTURE.md scale table: 1.69 Mray/s at 42k, 1.15 at 164k). True
+# per-lane divergent traversal (nanort-style per-ray stacks,
+# /root/reference/src/nanort.h:691-849) is hostile to the TPU: there is
+# no per-lane dynamic indexing inside a kernel, and XLA's HBM gather
+# (~15 ns/row) caps a gather-walk at ~1 Mray/s.
+#
+# V5S instead restores COHERENCE by scheduling: cut the BVH into C
+# subtrees (BFS cut by surface area); each pass, every unresolved ray
+# picks its NEAREST unvisited candidate subtree (dense slab test against
+# C boxes, fused by XLA), rays are sorted by that subtree id, and each
+# 1024-group runs the packet kernel RESTRICTED to the group's common
+# subtree root. Early t-culling (max_t = the ray's current best) plus
+# front-to-back candidate order means most rays resolve in 1-2 passes;
+# a final unrestricted pass sweeps stragglers. The group-union problem
+# shrinks from "the whole tree" to "one subtree".
+# ---------------------------------------------------------------------------
+
+
+def subtree_cut(node_aabb: np.ndarray, node_meta: np.ndarray,
+                max_nodes: int = 64):
+    """BFS cut of the BVH into <= max_nodes subtree roots (expand the
+    largest-surface node first). Returns (roots [C] int32 node ids,
+    aabb [6, C] float32)."""
+    right = node_meta[0]
+    cut = [0]
+    while True:
+        areas = []
+        for n_id in cut:
+            if right[n_id] < 0:
+                areas.append(-1.0)
+            else:
+                d = np.maximum(node_aabb[3:6, n_id] - node_aabb[0:3, n_id],
+                               0.0)
+                areas.append(float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0]))
+        j = int(np.argmax(areas))
+        if areas[j] < 0.0 or len(cut) + 1 > max_nodes:
+            break
+        n_id = cut.pop(j)
+        cut = [n_id + 1, int(right[n_id])] + cut
+    roots = np.asarray(sorted(cut), np.int32)
+    return roots, node_aabb[:, roots].astype(np.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "interpret", "passes"))
+def dense_trace_v5s(packed_leaf, node_aabb, node_meta, sub_roots, sub_aabb,
+                    org, direction, min_t, max_t, any_hit=False,
+                    interpret=False, passes=2):
+    """Subtree-scheduled large-scene trace (see block comment above).
+    Same contract as dense_trace_v5; sub_roots/sub_aabb from subtree_cut.
+
+    The state rides PERMUTED across passes (rays+bests+consumed-bitmask
+    packed into one fat matrix, ONE gather per pass, one final scatter):
+    a first cut of this scheduler permuted rays/results back and forth
+    every pass and spent ~2/3 of its wall in gathers/scatters.
+    """
+    n0 = org.shape[0]
+    n = (n0 + GROUP - 1) // GROUP * GROUP
+    pad = n - n0
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), min_t.dtype)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0,
+                                                 max_t.dtype)])
+    max_t = jnp.minimum(max_t, INF)
+    C = sub_aabb.shape[1]
+    assert C <= 64, "consumed bitmask is 2 uint32 words"
+    big = jnp.float32(_BIG)
+    f32 = jnp.float32
+    from jax import lax as _lax
+
+    lo_c = sub_aabb[0:3].T[None]  # [1, C, 3]
+    hi_c = sub_aabb[3:6].T[None]
+
+    def slab_all(org, direction, min_t, max_t):
+        eps = 1e-12
+        inv = 1.0 / jnp.where(jnp.abs(direction) < eps,
+                              jnp.where(direction < 0.0, -eps, eps),
+                              direction)
+        t0 = (lo_c - org[:, None]) * inv[:, None]
+        t1 = (hi_c - org[:, None]) * inv[:, None]
+        tnear = jnp.maximum(jnp.minimum(t0, t1).max(-1), min_t[:, None])
+        tfar = jnp.minimum(jnp.maximum(t0, t1).min(-1), max_t[:, None])
+        return jnp.where(tnear <= tfar * 1.00000024, tnear, big)
+
+    # fat state: org3 dir3 mint maxt | best_t best_u best_v best_p |
+    # consumed_lo consumed_hi | orig
+    state = jnp.concatenate([
+        org, direction, min_t[:, None], max_t[:, None],
+        jnp.minimum(max_t, INF)[:, None], jnp.zeros((n, 2), f32),
+        jnp.full((n, 1), -1.0, f32),
+        _lax.bitcast_convert_type(jnp.zeros((n, 2), jnp.uint32), f32),
+        _lax.bitcast_convert_type(jnp.arange(n, dtype=jnp.int32),
+                                  f32)[:, None],
+    ], axis=1)
+
+    def unpack(st):
+        d = {
+            "org": st[:, 0:3], "dir": st[:, 3:6], "mint": st[:, 6],
+            "maxt": st[:, 7], "bt": st[:, 8], "bu": st[:, 9],
+            "bv": st[:, 10], "bp": st[:, 11],
+            "clo": _lax.bitcast_convert_type(st[:, 12], jnp.uint32),
+            "chi": _lax.bitcast_convert_type(st[:, 13], jnp.uint32),
+            "orig": _lax.bitcast_convert_type(st[:, 14], jnp.int32),
+        }
+        return d
+
+    def run_pass(state, cleanup):
+        s_ = unpack(state)
+        cand = slab_all(s_["org"], s_["dir"], s_["mint"], s_["maxt"])
+        bits = (jnp.uint32(1) << (jnp.arange(C, dtype=jnp.uint32)
+                                  % jnp.uint32(32)))[None]
+        lo_mask = (s_["clo"][:, None] & bits) > 0
+        hi_mask = (s_["chi"][:, None] & bits) > 0
+        consumed = jnp.where(jnp.arange(C)[None] < 32, lo_mask, hi_mask)
+        avail = jnp.where(consumed | (cand >= s_["bt"][:, None]), big,
+                          cand)
+        if cleanup:
+            # whatever still has a nearer candidate runs UNRESTRICTED
+            rem = (avail < big).any(axis=1)
+            if any_hit:
+                rem = rem & (s_["bp"] < 0)
+            key = jnp.where(rem, 0, 1).astype(jnp.int32)
+        else:
+            sid = jnp.argmin(avail, axis=1).astype(jnp.int32)
+            has = avail[jnp.arange(n), sid] < big
+            if any_hit:
+                has = has & (s_["bp"] < 0)
+            key = jnp.where(has, sid, C).astype(jnp.int32)
+        perm = jnp.argsort(key)
+        state = jnp.concatenate(
+            [state, key.astype(f32)[:, None]], axis=1)[perm]
+        key_p = state[:, 15].astype(jnp.int32)
+        state = state[:, :15]
+        s_ = unpack(state)
+        if cleanup:
+            active = key_p == 0
+            groot = None  # whole tree
+        else:
+            group_first = key_p.reshape(-1, GROUP)[:, 0]
+            groot = sub_roots[jnp.minimum(group_first, C - 1)]
+            groot = jnp.where(group_first >= C, 0, groot).astype(jnp.int32)
+            active = (key_p == jnp.repeat(group_first, GROUP)) & (key_p < C)
+        mt = jnp.where(active, s_["bt"], -1.0)
+        res = dense_trace_v5l(packed_leaf, node_aabb, node_meta,
+                              s_["org"], s_["dir"], s_["mint"], mt,
+                              any_hit=any_hit, interpret=interpret,
+                              group_roots=groot)
+        upd = active & (res["prim"] >= 0) & (res["t"] < s_["bt"])
+        bt = jnp.where(upd, res["t"], s_["bt"])
+        bu = jnp.where(upd, res["u"], s_["bu"])
+        bv = jnp.where(upd, res["v"], s_["bv"])
+        bp = jnp.where(upd, res["prim"].astype(f32), s_["bp"])
+        if not cleanup:
+            kk = key_p.astype(jnp.uint32)
+            bit = jnp.uint32(1) << (kk % jnp.uint32(32))
+            clo = s_["clo"] | jnp.where(active & (key_p < 32), bit, 0)
+            chi = s_["chi"] | jnp.where(active & (key_p >= 32) & (key_p < C),
+                                        bit, 0)
+        else:
+            clo, chi = s_["clo"], s_["chi"]
+        return jnp.concatenate([
+            state[:, 0:8], bt[:, None], bu[:, None], bv[:, None],
+            bp[:, None],
+            _lax.bitcast_convert_type(clo, f32)[:, None],
+            _lax.bitcast_convert_type(chi, f32)[:, None],
+            state[:, 14:15],
+        ], axis=1)
+
+    for _ in range(passes):
+        state = run_pass(state, cleanup=False)
+    state = run_pass(state, cleanup=True)
+
+    s_ = unpack(state)
+    out_pack = jnp.stack([s_["bt"], s_["bu"], s_["bv"], s_["bp"]], axis=1)
+    # orig is a permutation; argsort(orig) is its inverse — a gather is
+    # ~5x cheaper than the equivalent scatter (measured 8 vs 43 ns/row)
+    out = out_pack[jnp.argsort(s_["orig"])]
+    bp = out[:, 3].astype(jnp.int32)
+    found = out[:, 3] >= 0.0
+    return {
+        "t": jnp.where(found, out[:, 0], INF)[:n0],
+        "u": out[:n0, 1],
+        "v": out[:n0, 2],
+        "prim": jnp.where(found, bp, -1)[:n0],
     }

