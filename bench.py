@@ -31,7 +31,7 @@ def measure(scene_np, width, height, spp, max_steps, k_volume):
     from pbrlab_tpu.scene.scene import scene_to_device
     from pbrlab_tpu.utils.profiling import measure_occupancy
 
-    alive_steps = measure_occupancy(scene_np, max_steps)
+    ray_units = measure_occupancy(scene_np, max_steps, k_volume=k_volume)
     scene = scene_to_device(scene_np)
     img = render(scene, width, height, spp, max_steps=max_steps,
                  k_volume=k_volume)
@@ -42,7 +42,8 @@ def measure(scene_np, width, height, spp, max_steps, k_volume):
     img = np.asarray(render(scene, width, height, spp, max_steps=max_steps,
                             k_volume=k_volume))
     dt = time.perf_counter() - t0
-    total_rays = width * height * spp * alive_steps * 2.0
+    # ray_units includes the closest+shadow x2 and k_volume substep rays
+    total_rays = width * height * spp * ray_units
     return total_rays / dt / 1e6
 
 

@@ -832,6 +832,10 @@ def dense_trace_v5s(packed_leaf, node_aabb, node_meta, sub_roots, sub_aabb,
 
     for _ in range(passes):
         state = run_pass(state, cleanup=False)
+    # NOTE: wrapping this round in lax.cond(any ray still needs cleanup)
+    # was tried — it produced WRONG renders on chip (interpret-mode
+    # parity passed; the pallas_call inside the cond branch appears to
+    # miscompile). Unconditional until that is understood.
     state = run_pass(state, cleanup=True)
 
     s_ = unpack(state)

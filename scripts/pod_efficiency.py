@@ -60,8 +60,9 @@ def run_measurement(args):
     is_zero = jax.process_index() == 0
 
     # occupancy probe (host-side, cheap shapes) for the rays metric
-    alive_steps = measure_occupancy(scene_np, args.max_steps)
-    rays_per_pass = args.res * args.res * args.spp * alive_steps * 2.0
+    # (units include the closest+shadow x2 factor)
+    ray_units = measure_occupancy(scene_np, args.max_steps)
+    rays_per_pass = args.res * args.res * args.spp * ray_units
 
     times = []
     for p in range(args.passes + 1):  # +1: first pass compiles

@@ -23,7 +23,11 @@ def test_measure_occupancy_positive():
 
     scene_np, _ = build_demo_scene(subdiv=1)
     s = measure_occupancy(scene_np, max_steps=4, probe=16)
-    assert 1.0 <= s <= 4.0  # step 0 is fully alive; <= max_steps total
+    # units include closest+shadow (x2): step 0 alone contributes 2;
+    # the cap is 2 per step plus k_volume substeps (0 here)
+    assert 2.0 <= s <= 8.0
+    s3 = measure_occupancy(scene_np, max_steps=4, probe=16, k_volume=2)
+    assert s3 >= s  # substep rays only add
 
 
 def test_rays_meter():
