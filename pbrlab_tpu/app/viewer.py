@@ -14,6 +14,10 @@ equivalent here is an HTTP server any browser can open:
 * GET  /status      — {pass, max_pass, pass_seconds}
 * GET  /materials   — {name: {param: value}} for every editable parameter
 * POST /edit        — {"material": m, "param": p, "value": v} -> EditQueue
+* POST /replace     — {"material": m, "kind": 0|1, "params": {...}} —
+                      whole-material replacement incl. TYPE switching
+                      (glfw-window.cc:960-975 / the EditQueue's
+                      MaterialParameter payload)
 * POST /rerender    — cancel + reset accumulation (RequestRerender)
 
 The render loop stays in the caller's thread (render_loop()); the HTTP
