@@ -768,8 +768,11 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
     processed by exactly one lane in increasing-sample order (claims are
     whole pixels), each sample's RNG stream is a pure function of
     (pixel, sample, seed), and the framebuffer row for a pixel therefore
-    accumulates the same values in the same order regardless of lane
-    count, claim schedule, permutation, or sharding layout.
+    accumulates the same values in the same order regardless of the
+    claim schedule, permutation, or sharding layout. At a FIXED n_lanes
+    the image is bit-deterministic; CHANGING n_lanes can move bits by
+    ~1 ulp because differently-shaped programs fuse differently in XLA
+    (tests/test_integrator.py pins the <=1e-5 band).
 
     Forward-only (while_loop is not reverse-differentiable; gradients use
     render_lanes). Returns summed radiance [n_pixels, 3] (divide by spp

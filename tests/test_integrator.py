@@ -142,3 +142,30 @@ def test_compaction_is_bit_identical(small_scene):
     b = np.asarray(render_lanes(scene_fat, W, H, jnp.uint32(0), max_steps=8,
                                 sort_every=1))
     np.testing.assert_array_equal(a, b)
+
+
+def test_work_queue_lane_count_invariance(small_scene):
+    """The dynamic pixel work queue must produce the same image for any
+    lane count: with n_lanes < n_pixels, finished lanes CLAIM later
+    pixels (cumsum-rank fetch-add), and a pixel's spp samples stay
+    sequential on one lane, so every pixel accumulates the same sample
+    values in the same order regardless of the claim schedule. Bits can
+    move ~1 ulp because each n_lanes is a differently-SHAPED program
+    that XLA fuses differently (the same caveat as round 3's
+    pixels-per-lane K); at a FIXED n_lanes the image is bit-deterministic
+    (goldens + sharding tests). The default suite scenes are smaller
+    than the default lane count, so this is the only CI coverage of the
+    claiming path."""
+    from pbrlab_tpu.render.integrator import render_lanes_wavefront
+    from pbrlab_tpu.scene.scene import build_fat_tables
+
+    _, scene_dev = small_scene
+    scene_fat = build_fat_tables(scene_dev)
+    spp = 3
+    ref = np.asarray(render_lanes_wavefront(
+        scene_fat, W, H, spp, max_steps=8))  # n_lanes = n (no claims)
+    for n_lanes in (7, 32, 100):
+        got = np.asarray(render_lanes_wavefront(
+            scene_fat, W, H, spp, max_steps=8, n_lanes=n_lanes))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(got.mean(), ref.mean(), rtol=1e-6)
