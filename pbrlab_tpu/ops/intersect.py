@@ -269,13 +269,16 @@ def _closest_tri(scene, org, direction, min_t, max_t):
             org, direction, min_t, max_t,
             interpret=jax.default_backend() == "cpu")
     if backend == "dense5s":
+        import os
+
         from .pallas.dense_v5 import dense_trace_v5s
 
         return dense_trace_v5s(
             scene["dense_tris_v5l"], scene["v5_node_aabb"],
             scene["v5_node_meta"], scene["v5s_roots"], scene["v5s_aabb"],
             org, direction, min_t, max_t,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            passes=int(os.environ.get("PBRLAB_V5S_PASSES", "1")))
     if backend == "dense5l":
         from .pallas.dense_v5 import dense_trace_v5l
 
@@ -321,13 +324,16 @@ def _occluded_tri(scene, org, direction, min_t, max_t):
             interpret=jax.default_backend() == "cpu")
         return res["prim"] >= 0
     if backend == "dense5s":
+        import os
+
         from .pallas.dense_v5 import dense_trace_v5s
 
         res = dense_trace_v5s(
             scene["dense_tris_v5l"], scene["v5_node_aabb"],
             scene["v5_node_meta"], scene["v5s_roots"], scene["v5s_aabb"],
             org, direction, min_t, max_t, any_hit=True,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            passes=int(os.environ.get("PBRLAB_V5S_PASSES", "1")))
         return res["prim"] >= 0
     if backend == "dense5l":
         from .pallas.dense_v5 import dense_trace_v5l

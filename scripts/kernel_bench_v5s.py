@@ -27,7 +27,7 @@ from pbrlab_tpu.scene.demo import build_demo_scene
 SUBDIV = int(os.environ.get("KB_SUBDIV", "5"))
 N = int(os.environ.get("KB_N", 1 << 19))
 ITERS = int(os.environ.get("KB_ITERS", "4"))
-PASSES = int(os.environ.get("KB_PASSES", "3"))
+PASSES = int(os.environ.get("KB_PASSES", "1"))
 CUT = int(os.environ.get("KB_CUT", "64"))
 
 
