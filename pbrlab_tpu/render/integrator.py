@@ -98,6 +98,8 @@ def _signature_word(scene, state: PathState):
     exact 122-cluster signature, and the single word makes the compaction
     sort one-key instead of a 5-key lexsort.
     """
+    import os
+
     aabb = scene["sig_aabb"]
     inv = 1.0 / jnp.where(jnp.abs(state.direction) < 1e-12,
                           jnp.where(state.direction < 0.0, -1e-12, 1e-12),
@@ -118,7 +120,18 @@ def _signature_word(scene, state: PathState):
     mask = tnear <= tfar * 1.00000024
     k = aabb.shape[1]
     weights = (jnp.uint32(1) << jnp.arange(k, dtype=jnp.uint32))[None]
-    return (mask.astype(jnp.uint32) * weights).sum(axis=1, dtype=jnp.uint32)
+    sig = (mask.astype(jnp.uint32) * weights).sum(axis=1, dtype=jnp.uint32)
+    if os.environ.get("PBRLAB_COMPACT_KEY") == "nearest":
+        # tried-and-rejected: grouping primarily by the NEAREST hit
+        # subtree (the v5s scheduling insight) with the bitmask as minor
+        # key measured WORSE than the plain bitmask for the in-render
+        # compaction (2.72 vs 2.22 s at 512^2x16spp) — mid-path rays'
+        # nearest box correlates less with their traversal than their
+        # full can-hit set does. Kept as an ablation knob.
+        near = jnp.argmin(jnp.where(mask, tnear, jnp.float32(1e30)),
+                          axis=1).astype(jnp.uint32)
+        return (near << jnp.uint32(24)) | (sig & jnp.uint32(0xFFFFFF))
+    return sig
 
 
 def compact_state(state: PathState, scene) -> PathState:
