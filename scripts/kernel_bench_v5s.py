@@ -7,7 +7,7 @@ Pattern per the measured backend quirks: compile every program first,
 burn one sacrificial execution, then execute each program ONCE with the
 work amplified KB_ITERS-fold inside one jit (data-dependent scan).
 
-Env: KB_SUBDIV (5), KB_N (1<<19), KB_ITERS (4), KB_PASSES (3), KB_CUT (64).
+Env: KB_SUBDIV (5), KB_N (1<<19), KB_ITERS (4), KB_PASSES (1), KB_CUT (64).
 """
 import os
 import sys
