@@ -69,3 +69,54 @@ def test_inside_box_hits(demo_scene):
     res = intersect_bvh(demo_scene, org, jnp.asarray(d, jnp.float32),
                         jnp.zeros((n,)), jnp.full((n,), INF))
     assert (np.asarray(res["prim"]) >= 0).all()
+
+
+def test_dense5s_dispatch_wiring(monkeypatch):
+    """trace_scene/occluded_scene must route through the v5s subtree
+    scheduler when the scene carries a subtree cut (large-scene default)
+    and agree with brute force (interpret mode)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbrlab_tpu.ops.intersect import (intersect_bruteforce,
+                                          occluded_scene, trace_scene)
+    from pbrlab_tpu.ops.pallas.dense_v5 import leaf_major, subtree_cut
+    from pbrlab_tpu.scene.demo import build_demo_scene
+    from pbrlab_tpu.scene.scene import scene_to_device
+
+    scene_np, _ = build_demo_scene(subdiv=1)
+    scene_np = dict(scene_np)
+    scene_np["dense_tris_v5l"] = leaf_major(
+        np.asarray(scene_np["dense_tris_v4"]))
+    roots, aabb = subtree_cut(np.asarray(scene_np["v5_node_aabb"]),
+                              np.asarray(scene_np["v5_node_meta"]),
+                              max_nodes=8)
+    scene_np["v5s_roots"] = roots
+    scene_np["v5s_aabb"] = aabb
+    scene = scene_to_device(scene_np)
+    monkeypatch.setenv("PBRLAB_TRACE_BACKEND", "dense5s")
+
+    rng = np.random.default_rng(3)
+    n = 1024
+    lo, hi = scene_np["aabb_min"], scene_np["aabb_max"]
+    org = jnp.asarray(lo + (hi - lo) * rng.random((n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    mn = jnp.zeros((n,), jnp.float32)
+    mx = jnp.full((n,), 1e18, jnp.float32)
+    got = trace_scene(scene, org, d, mn, mx)
+    ref = intersect_bruteforce(scene, org, d, mn, mx)
+    hit_ref = np.asarray(ref["prim"]) >= 0
+    np.testing.assert_array_equal(hit_ref, np.asarray(got["prim"]) >= 0)
+    np.testing.assert_allclose(np.asarray(got["t"])[hit_ref],
+                               np.asarray(ref["t"])[hit_ref], rtol=1e-3)
+    occ = np.asarray(occluded_scene(scene, org, d, mn,
+                                    jnp.full((n,), 0.5, jnp.float32)))
+    # occlusion within 0.5 == closest hit within 0.5 (away from the
+    # boundary, where kernel epsilon conventions legitimately differ)
+    t_ref = np.asarray(ref["t"])
+    off_boundary = ~hit_ref | (np.abs(t_ref - 0.5) > 1e-3)
+    closest_within = hit_ref & (t_ref <= 0.5)
+    np.testing.assert_array_equal(occ[off_boundary],
+                                  closest_within[off_boundary])
