@@ -313,7 +313,9 @@ def _closest_tri(scene, org, direction, min_t, max_t):
 
 
 def _occluded_tri(scene, org, direction, min_t, max_t):
-    backend = _tri_backend(scene)
+    import os
+
+    backend = os.environ.get("PBRLAB_SHADOW_BACKEND") or _tri_backend(scene)
     if backend == "dense5i":
         from .pallas.dense_v5i import dense_trace_v5i
 
