@@ -258,8 +258,23 @@ def _remap_legacy_prim(scene, res):
     return res
 
 
-def _closest_tri(scene, org, direction, min_t, max_t):
-    backend = _tri_backend(scene)
+def sparse_backend(scene) -> str | None:
+    """Backend override for traces where most lanes are DEAD (the
+    k_volume substeps: only volume-mode lanes fire). The packet kernels
+    skip all-dead groups nearly for free; v4's fused XLA cull and v5s's
+    sort+gather scheduling rounds run over every lane regardless — both
+    lose on sparse wavefronts. Returns None when the default is already
+    the right choice."""
+    b = _tri_backend(scene)
+    if b == "dense4":
+        return "dense5"
+    if b == "dense5s":
+        return "dense5l"
+    return None
+
+
+def _closest_tri(scene, org, direction, min_t, max_t, backend=None):
+    backend = backend or _tri_backend(scene)
     if backend == "dense5i":
         from .pallas.dense_v5i import dense_trace_v5i
 
@@ -312,10 +327,11 @@ def _closest_tri(scene, org, direction, min_t, max_t):
     return intersect_bvh(scene, org, direction, min_t, max_t)
 
 
-def _occluded_tri(scene, org, direction, min_t, max_t):
+def _occluded_tri(scene, org, direction, min_t, max_t, backend=None):
     import os
 
-    backend = os.environ.get("PBRLAB_SHADOW_BACKEND") or _tri_backend(scene)
+    backend = (backend or os.environ.get("PBRLAB_SHADOW_BACKEND")
+               or _tri_backend(scene))
     if backend == "dense5i":
         from .pallas.dense_v5i import dense_trace_v5i
 
@@ -408,14 +424,15 @@ def _occluded_curve(scene, org, direction, min_t, max_t):
     return res["sub"] >= 0
 
 
-def trace_scene(scene, org, direction, min_t, max_t):
+def trace_scene(scene, org, direction, min_t, max_t, backend=None):
     """Closest hit over triangles AND hair curves (rtcIntersect1 equivalent
     over the two-geometry global scene, raytracer_impl.cc:268-278).
 
     Returns dict(t, u, v, prim, seg, is_curve, tangent): prim is the
     triangle id (-1 otherwise), seg the curve segment id (-1 otherwise).
+    backend optionally overrides the triangle dispatch (sparse_backend).
     """
-    tri = _closest_tri(scene, org, direction, min_t, max_t)
+    tri = _closest_tri(scene, org, direction, min_t, max_t, backend)
     n = org.shape[0]
     if not has_curves(scene):
         return {**tri, "seg": jnp.full((n,), -1, jnp.int32),
@@ -434,9 +451,9 @@ def trace_scene(scene, org, direction, min_t, max_t):
     }
 
 
-def occluded_scene(scene, org, direction, min_t, max_t):
+def occluded_scene(scene, org, direction, min_t, max_t, backend=None):
     """Shadow any-hit over triangles AND curves (rtcOccluded1 equivalent)."""
-    occ = _occluded_tri(scene, org, direction, min_t, max_t)
+    occ = _occluded_tri(scene, org, direction, min_t, max_t, backend)
     if has_curves(scene):
         occ = occ | _occluded_curve(scene, org, direction, min_t, max_t)
     return occ

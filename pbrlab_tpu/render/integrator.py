@@ -296,7 +296,8 @@ def _fetch_colors(scene, mat, uv):
 
 
 def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
-         bsdf: PrincipledBsdf, hair_b, is_hair, u0, u1, u2, shade_mask):
+         bsdf: PrincipledBsdf, hair_b, is_hair, u0, u1, u2, shade_mask,
+         trace_backend=None):
     """Next-event estimation (DirectIllumination, shader-utils.h:166-212).
 
     geom_normal is the normal used for the geometric terms: the flipped
@@ -324,7 +325,8 @@ def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
     else:
         occluded = occluded_scene(
             scene, pos, wl, jnp.full_like(dist, EPS),
-            jnp.where(candidate, shadow_max, -1.0))
+            jnp.where(candidate, shadow_max, -1.0),
+            backend=trace_backend)
     omega_l = to_local(wl, ex, ey, ez)
     f, pdf_b = principled.eval_bsdf(omega_l, omega_out_local, bsdf)
     if hair_b is not None:
@@ -400,6 +402,13 @@ def wavefront_step(scene, state: PathState, depth: int,
     max_t = jnp.where(state.alive, max_t, -1.0)  # dead lanes: no traversal
 
     # ---- one closest-hit trace for all lanes (triangles + hair) ----
+    # k_volume substeps fire only volume-mode lanes: use the sparse
+    # (group-skipping) trace backend for them
+    trace_backend = None
+    if freeze_surface:
+        from ..ops.intersect import sparse_backend
+
+        trace_backend = sparse_backend(scene)
     if "notrace" in abl:  # profiling: step cost minus the closest hit
         hit = {"t": jnp.abs(direction[:, 0]) + 2.0,
                "u": jnp.abs(min_t), "v": jnp.abs(min_t),
@@ -410,7 +419,8 @@ def wavefront_step(scene, state: PathState, depth: int,
     else:
         hit = jax.tree_util.tree_map(
             lax.stop_gradient,
-            trace_scene(scene, state.org, direction, min_t, max_t))
+            trace_scene(scene, state.org, direction, min_t, max_t,
+                        backend=trace_backend))
     prim = hit["prim"]
     is_curve = hit["is_curve"]
     hit_ok = (prim >= 0) | is_curve
@@ -580,7 +590,8 @@ def wavefront_step(scene, state: PathState, depth: int,
     rng_state, un = draw_n(rng_state, 3)
     if "nonee" not in abl:
         nee = _nee(scene, pos, geom_normal, omega_out, ex, ey, ez, bsdf,
-                   hair_b, hair_lane, un[0], un[1], un[2], shade_mask)
+                   hair_b, hair_lane, un[0], un[1], un[2], shade_mask,
+                   trace_backend=trace_backend)
         contribution = contribution + jnp.where(shade_mask[..., None],
                                                 throughput * nee, 0.0)
 
