@@ -16,7 +16,11 @@ import time
 import numpy as np
 
 
-def build_scene_from_files(paths):
+def build_scene_from_files(paths, return_names=False):
+    """Scene from .obj/.hair files. return_names=True additionally returns
+    the builder's material-name list so the progressive editor can address
+    every scene material by name, like the reference GUI's per-material
+    editor (/root/reference/pc/glfw-window.cc:651-980)."""
     from ..io.obj import load_obj, material_params_to_builder
     from ..scene.scene import SceneBuilder, commit
 
@@ -41,7 +45,10 @@ def build_scene_from_files(paths):
                 lid = b.add_area_light_param((3.0, 3.0, 3.0))
                 light_ids = [np.full((mesh.num_faces,), lid, np.int32)]
             b.add_instance([mesh], light_ids=light_ids)
-    return commit(b.build())
+    scene = commit(b.build())
+    if return_names:
+        return scene, list(b.materials.names)
+    return scene
 
 
 def main(argv=None):
@@ -68,10 +75,13 @@ def main(argv=None):
     from ..render.integrator import render, scene_has_sss
     from ..scene.scene import scene_to_device
 
+    # material names ride along from every loader so --serve lists every
+    # scene material in the editor (glfw-window.cc:651-980 parity)
     if args.scenes == ["demo"]:
         from ..scene.demo import build_demo_scene
 
-        scene_np, _ = build_demo_scene()
+        scene_np, builder = build_demo_scene()
+        mat_names = list(builder.materials.names)
     else:
         import os
 
@@ -85,12 +95,14 @@ def main(argv=None):
             # wired up unlike the reference's TODO, README.md:225)
             from ..io.scene_json import load_scene_json
 
-            scene_np, render_cfg = load_scene_json(args.scenes[0])
+            scene_np, render_cfg, mat_names = load_scene_json(
+                args.scenes[0], return_names=True)
             args.width = render_cfg.get("width", args.width)
             args.height = render_cfg.get("height", args.height)
             args.spp = render_cfg.get("max_pass", args.spp)
         else:
-            scene_np = build_scene_from_files(args.scenes)
+            scene_np, mat_names = build_scene_from_files(
+                args.scenes, return_names=True)
     ntri = (scene_np["tri_v0"].shape[0] if "tri_v0" in scene_np
             else scene_np["iface_material"].shape[0])
     print(f"scene: {ntri} triangles, "
@@ -104,15 +116,10 @@ def main(argv=None):
         from ..app.viewer import PreviewServer
         from ..render.progressive import ProgressiveRenderer
 
-        names = None
-        if args.scenes == ["demo"]:
-            from ..scene.demo import build_demo_scene as _b
-
-            _, builder = _b()
-            names = builder.materials.names
         r = ProgressiveRenderer(scene, args.width, args.height,
-                                material_names=names or [],
-                                seed=args.seed, max_steps=args.max_steps)
+                                material_names=mat_names,
+                                seed=args.seed, max_steps=args.max_steps,
+                                k_volume=k_volume)
         srv = PreviewServer(r, max_pass=args.spp)
         port = srv.start(port=args.serve)
         print(f"preview at http://127.0.0.1:{port} "

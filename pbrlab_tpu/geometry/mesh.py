@@ -86,19 +86,27 @@ class CubicBezierCurveMesh:
 
     Reference: /root/reference/src/mesh/cubic-bezier-curve-mesh.h:12-34 —
     vertices_thickness [P, 4] packed control points, indices [S] start index
-    of each 4-point segment.
+    of each 4-point segment. segment_colors optionally carries per-segment
+    RGB (from a CyHair color block, io/cyhair.py); scene build surfaces it
+    as a per-strand hair base-color override (the reference parses the
+    block and never consumes it, /root/reference/src/io/cyhair.cc:105-116).
     """
 
     vertices_thickness: np.ndarray  # [P, 4] float32 (xyz + radius)
     indices: np.ndarray  # [S] int32 first-control-point index per segment
     material_id: int = 0
     name: str = ""
+    segment_colors: Optional[np.ndarray] = None  # [S, 3] float32 or None
 
     def __post_init__(self):
         self.vertices_thickness = np.ascontiguousarray(
             self.vertices_thickness, np.float32
         )
         self.indices = np.ascontiguousarray(self.indices, np.int32)
+        if self.segment_colors is not None:
+            self.segment_colors = np.ascontiguousarray(
+                self.segment_colors, np.float32)
+            assert self.segment_colors.shape == (self.indices.shape[0], 3)
 
     @property
     def num_segments(self) -> int:

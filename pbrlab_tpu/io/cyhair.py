@@ -129,14 +129,16 @@ def _catmullrom_to_bezier_strand(cv: np.ndarray, radius: np.ndarray,
 def load_cyhair_as_bezier(path: str, name: str = "") -> CubicBezierCurveMesh:
     """CyHair file -> CubicBezierCurveMesh (xyz + thickness control points).
 
-    When the file carries a per-point color block, the mean RGB per strand
-    is surfaced on the mesh as ``strand_colors`` [num_strands, 3] — the
-    hair material can pick it up as a base-color override (the reference
-    parses the block but never consumes it, cyhair.cc:105-116)."""
+    When the file carries a per-point color block, the mean RGB of each
+    strand is expanded to its Bezier segments and stored as the mesh's
+    ``segment_colors`` constructor field; the scene build surfaces those
+    as `curve_color` and the integrator uses them as a per-strand hair
+    base-color override (applies under rgb hair coloring). The reference
+    parses the color block and never consumes it (cyhair.cc:105-116)."""
     verts, thicks, colors = load_cyhair(path, y_up=True, with_colors=True)
     all_pts = []
     indices = []
-    strand_colors = [] if colors is not None else None
+    seg_colors = [] if colors is not None else None
     offset = 0
     for si, (cv, r) in enumerate(zip(verts, thicks)):
         if cv.shape[0] < 3:
@@ -146,17 +148,18 @@ def load_cyhair_as_bezier(path: str, name: str = "") -> CubicBezierCurveMesh:
         all_pts.append(flat)
         indices.extend(range(offset, offset + flat.shape[0], 4))
         offset += flat.shape[0]
-        if strand_colors is not None:
-            strand_colors.append(colors[si].mean(axis=0))
+        if seg_colors is not None:
+            mean_rgb = colors[si].mean(axis=0)
+            seg_colors.append(np.broadcast_to(
+                mean_rgb.astype(np.float32), (seg.shape[0], 3)))
     if not all_pts:
         raise ValueError(f"{path}: no usable strands")
-    mesh = CubicBezierCurveMesh(
+    return CubicBezierCurveMesh(
         vertices_thickness=np.concatenate(all_pts),
         indices=np.asarray(indices, np.int32),
-        name=name or path)
-    if strand_colors is not None:
-        mesh.strand_colors = np.stack(strand_colors).astype(np.float32)
-    return mesh
+        name=name or path,
+        segment_colors=(np.concatenate(seg_colors)
+                        if seg_colors is not None else None))
 
 
 def make_demo_hair(num_strands=64, points_per_strand=8, seed=0,

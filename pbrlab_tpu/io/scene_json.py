@@ -115,8 +115,11 @@ _HAIR_JSON_KEYS = {
 }
 
 
-def load_scene_json(path: str):
-    """Parse + build: returns the committed numpy scene dict.
+def load_scene_json(path: str, return_names: bool = False):
+    """Parse + build: returns (scene dict, render config) — with
+    return_names=True, additionally the material-name list for the
+    progressive editor (glfw-window.cc:651-980 enumerates every scene
+    material the same way).
 
     Mirrors CreateSceneFromSceneDescription's resolution order
     (scene-description.cc:526-583): objs -> cyhairs -> textures ->
@@ -250,7 +253,8 @@ def load_scene_json(path: str):
                 # scene.transform_curve_points)
                 cm = CubicBezierCurveMesh(cm.vertices_thickness, cm.indices,
                                           material_id=cm.material_id,
-                                          name=cm.name)
+                                          name=cm.name,
+                                          segment_colors=cm.segment_colors)
                 if i < len(mats) and mats[i]:
                     cm.material_id = mat_ids[mats[i]]
                 curve_meshes.append(cm)
@@ -288,5 +292,9 @@ def load_scene_json(path: str):
     if use_shared:
         from ..scene.instanced import build_instanced
 
-        return build_instanced(b), root.get("render", {})
-    return commit(b.build()), root.get("render", {})
+        scene = build_instanced(b)
+    else:
+        scene = commit(b.build())
+    if return_names:
+        return scene, root.get("render", {}), list(b.materials.names)
+    return scene, root.get("render", {})

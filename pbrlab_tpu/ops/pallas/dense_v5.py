@@ -786,7 +786,7 @@ def dense_trace_v5s(packed_leaf, node_aabb, node_meta, sub_roots, sub_aabb,
             key = jnp.where(rem, 0, 1).astype(jnp.int32)
         else:
             sid = jnp.argmin(avail, axis=1).astype(jnp.int32)
-            has = avail[jnp.arange(n), sid] < big
+            has = avail.min(axis=1) < big
             if any_hit:
                 has = has & (s_["bp"] < 0)
             key = jnp.where(has, sid, C).astype(jnp.int32)

@@ -51,10 +51,15 @@ def _pad_to(n: int, m: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_steps",
-                                   "mesh"))
+                                   "mesh", "k_volume"))
 def render_sharded(scene: Dict, width: int, height: int, spp: int,
-                   mesh: Mesh, seed=0, max_steps: int = 32):
-    """Mean radiance [H, W, 3], pixels sharded across `mesh`'s devices."""
+                   mesh: Mesh, seed=0, max_steps: int = 32,
+                   k_volume: int = 0):
+    """Mean radiance [H, W, 3], pixels sharded across `mesh`'s devices.
+
+    k_volume threads the SSS walk budget through (same semantics as
+    render(); callers should pass the CLI's auto-selected value so a
+    sharded SSS render matches the single-chip one bit for bit)."""
     n_dev = mesh.devices.size
     n = width * height
     n_pad = _pad_to(n, n_dev)
@@ -66,14 +71,16 @@ def render_sharded(scene: Dict, width: int, height: int, spp: int,
         # persistent-lane refill wavefront per shard: the same loop body
         # as single-chip render() so sharded output stays bit-identical
         return render_lanes_wavefront(scene_rep, width, height, spp, seed,
-                                      max_steps, lane_slice)
+                                      max_steps, lane_slice,
+                                      k_volume=k_volume)
 
     acc = one_pass_sharded(scene, lanes)
     return acc[:n].reshape(height, width, 3) / spp
 
 
 def train_step_builder(width: int, height: int, spp: int, mesh: Mesh,
-                       max_steps: int = 8, lr: float = 0.05):
+                       max_steps: int = 8, lr: float = 0.05,
+                       k_volume: int = 0):
     """Build a jitted differentiable-rendering training step.
 
     The "training" surface of the reference is its GUI edit loop mutating
@@ -115,7 +122,8 @@ def train_step_builder(width: int, height: int, spp: int, mesh: Mesh,
 
                 def body(acc, sample_id):
                     c = render_lanes(s, width, height, sample_id, 0,
-                                     max_steps, lane_slice, remat=True)
+                                     max_steps, lane_slice, remat=True,
+                                     k_volume=k_volume)
                     return acc + c, None
 
                 acc, _ = jax.lax.scan(

@@ -59,6 +59,14 @@ def _ablations() -> frozenset:
     full-step minus step-with-stage-removed (scripts/step_profile.py).
     Empty (the default, and any normal render) = exact normal behavior.
 
+    CAVEAT (applies to every PBRLAB_* knob read at trace time —
+    PBRLAB_ABLATE, PBRLAB_COMPACT_KEY, PBRLAB_V5S_PASSES,
+    PBRLAB_SHADOW_BACKEND, PBRLAB_SORT_DIRECT): jit caches key on
+    shapes/statics only, so these must be set BEFORE the first compile of
+    a given shape and not toggled in-process — a program compiled under
+    the old value is silently reused. Profiling scripts re-trace per
+    setting; normal renders never change them mid-process.
+
     Flags: notrace nonee noshadow noclosure noshade novolume noemis"""
     import os
 
@@ -582,6 +590,16 @@ def wavefront_step(scene, state: PathState, depth: int,
     if with_hair:
         from ..shading import hair as hair_mod
 
+        if "curve_color" in scene:
+            # per-strand base-color override from a CyHair color block
+            # (applies under rgb hair coloring; -1 rows = no file color).
+            # Statically skipped for color-free scenes — the gather only
+            # exists when the asset carries colors.
+            ccol = scene["curve_color"][safe_seg]
+            use_c = is_curve & (ccol[:, 0] >= 0.0)
+            mat = dict(mat)
+            mat["hair_base_color"] = jnp.where(
+                use_c[..., None], ccol, mat["hair_base_color"])
         hair_b = hair_mod.param_to_bsdf(mat, hit["v"])
     else:
         hair_b = None

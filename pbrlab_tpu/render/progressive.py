@@ -56,12 +56,15 @@ class ProgressiveRenderer:
 
     def __init__(self, scene_dev: Dict, width: int, height: int,
                  material_names: Optional[List[str]] = None, seed: int = 0,
-                 max_steps: int = 32):
+                 max_steps: int = 32, k_volume: int = 0):
         self.scene = scene_dev
         self.width = width
         self.height = height
         self.seed = seed
         self.max_steps = max_steps
+        # SSS walk-budget substeps; CLI auto-selects (scene_has_sss) so
+        # viewer/progressive renders use the same budget as batch renders
+        self.k_volume = k_volume
         self.material_names = material_names or []
         self.accum = np.zeros((height, width, 3), np.float32)
         self.num_passes = 0
@@ -132,7 +135,8 @@ class ProgressiveRenderer:
         t0 = time.time()
         img = render_sample(self.scene, self.width, self.height,
                             jnp.uint32(self.num_passes), seed=self.seed,
-                            max_steps=self.max_steps)
+                            max_steps=self.max_steps,
+                            k_volume=self.k_volume)
         img = np.asarray(jax.block_until_ready(img))
         self.pass_times.append(time.time() - t0)
         self.accum += img
@@ -166,7 +170,7 @@ class ProgressiveRenderer:
     def save_checkpoint(self, path: str) -> None:
         np.savez(path, accum=self.accum, num_passes=self.num_passes,
                  seed=self.seed, width=self.width, height=self.height,
-                 max_steps=self.max_steps)
+                 max_steps=self.max_steps, k_volume=self.k_volume)
 
     def load_checkpoint(self, path: str) -> None:
         d = np.load(path)
@@ -176,3 +180,5 @@ class ProgressiveRenderer:
         self.num_passes = int(d["num_passes"])
         self.seed = int(d["seed"])
         self.max_steps = int(d["max_steps"])
+        if "k_volume" in d:  # older checkpoints predate the field
+            self.k_volume = int(d["k_volume"])

@@ -327,7 +327,8 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
     # curve kernel and exact world-space radiometry.
     from .scene import commit_curves, transform_curve_points
 
-    curve_pts, curve_mat, curve_inst = [], [], []
+    curve_pts, curve_mat, curve_inst, curve_col = [], [], [], []
+    any_colors = False
     for curves, m4, k in curve_jobs:
         for cm in curves:
             from ..geometry.mesh import CubicBezierCurveMesh
@@ -335,17 +336,26 @@ def build_instanced(builder) -> Dict[str, np.ndarray]:
             vt = transform_curve_points(cm.vertices_thickness, m4)
             baked = CubicBezierCurveMesh(vt, cm.indices,
                                          material_id=cm.material_id,
-                                         name=cm.name)
+                                         name=cm.name,
+                                         segment_colors=cm.segment_colors)
             curve_pts.append(baked.segment_points())
             curve_mat.append(np.full((baked.num_segments,), cm.material_id,
                                      np.int32))
             curve_inst.append(np.full((baked.num_segments,), k, np.int32))
+            if cm.segment_colors is not None:
+                any_colors = True
+                curve_col.append(cm.segment_colors)
+            else:
+                curve_col.append(np.full((baked.num_segments, 3), -1.0,
+                                         np.float32))
     scene["curve_pts"] = (np.concatenate(curve_pts).astype(np.float32)
                           if curve_pts else np.zeros((0, 4, 4), np.float32))
     scene["curve_material"] = (np.concatenate(curve_mat) if curve_mat
                                else np.zeros((0,), np.int32))
     scene["curve_instance"] = (np.concatenate(curve_inst) if curve_inst
                                else np.zeros((0,), np.int32))
+    if any_colors:  # see scene.py: per-strand hair base-color override
+        scene["curve_color"] = np.concatenate(curve_col).astype(np.float32)
     scene["aabb_min"] = node_aabb[0:3, 0].copy()
     scene["aabb_max"] = node_aabb[3:6, 0].copy()
     if scene["curve_pts"].size:

@@ -263,18 +263,26 @@ class SceneBuilder:
         curve_pts = []
         curve_mat = []
         curve_inst = []
+        curve_col = []
+        any_colors = False
         for inst_id, inst in enumerate(self._instances):
             for cm in inst.curves:
                 if inst.transform is not None:
                     vt = transform_curve_points(cm.vertices_thickness,
                                                 inst.transform)
-                    cm = CubicBezierCurveMesh(vt, cm.indices,
-                                              material_id=cm.material_id,
-                                              name=cm.name)
+                    cm = CubicBezierCurveMesh(
+                        vt, cm.indices, material_id=cm.material_id,
+                        name=cm.name, segment_colors=cm.segment_colors)
                 curve_pts.append(cm.segment_points())
                 curve_mat.append(np.full((cm.num_segments,), cm.material_id,
                                          np.int32))
                 curve_inst.append(np.full((cm.num_segments,), inst_id, np.int32))
+                if cm.segment_colors is not None:
+                    any_colors = True
+                    curve_col.append(cm.segment_colors)
+                else:  # -1 marks "no file color: use the material's"
+                    curve_col.append(np.full((cm.num_segments, 3), -1.0,
+                                             np.float32))
         scene["curve_pts"] = (
             np.concatenate(curve_pts).astype(np.float32)
             if curve_pts else np.zeros((0, 4, 4), np.float32))
@@ -282,6 +290,13 @@ class SceneBuilder:
             np.concatenate(curve_mat) if curve_mat else np.zeros((0,), np.int32))
         scene["curve_instance"] = (
             np.concatenate(curve_inst) if curve_inst else np.zeros((0,), np.int32))
+        if any_colors:
+            # per-segment hair base-color override from CyHair color
+            # blocks; key absent for color-free scenes so the hot loop
+            # pays nothing (cyhair.cc:105-116 — parsed, never consumed
+            # by the reference)
+            scene["curve_color"] = np.concatenate(curve_col).astype(
+                np.float32)
 
         # ---- AABB (reference Scene::FetchSceneAABB semantics) ----------
         pts = [V.reshape(-1, 3)] if V.size else []

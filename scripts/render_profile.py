@@ -7,7 +7,7 @@ ms/iteration. This is the bench workload's own loop, so overheads the
 single-step probe can't see (refill, fb scatter, cond reduction, compact,
 occupancy decay) are all included.
 
-Env: RP_RES (512), RP_SPP (16), RP_STEPS (12), RP_PPL, PBRLAB_*.
+Env: RP_RES (512), RP_SPP (16), RP_STEPS (12), PBRLAB_LANES, PBRLAB_*.
 """
 import os
 import sys

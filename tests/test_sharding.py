@@ -49,3 +49,15 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single_device_sss_k_volume(demo_scene):
+    """VERDICT r4 #6b: the SSS walk budget (k_volume) threads through the
+    sharded path, and the sharded render of an SSS scene is bit-identical
+    to single-chip AT THE SAME k_volume."""
+    mesh = make_mesh(8)
+    a = np.asarray(render(demo_scene, W, H, 2, max_steps=4, k_volume=3))
+    b = np.asarray(render_sharded(demo_scene, W, H, 2, mesh, max_steps=4,
+                                  k_volume=3))
+    np.testing.assert_array_equal(a, b)
