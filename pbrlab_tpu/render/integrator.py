@@ -95,7 +95,7 @@ class PathState(NamedTuple):
     depth: jnp.ndarray  # [N] full steps taken for the current sample
 
 
-def _signature_word(scene, state: PathState):
+def _signature_word(scene, direction, org, min_t):
     """Coarse BVH-subtree-hit signature per lane, ONE uint32.
 
     Bit i is set iff the ray's slab test can hit subtree i of the
@@ -109,10 +109,10 @@ def _signature_word(scene, state: PathState):
     import os
 
     aabb = scene["sig_aabb"]
-    inv = 1.0 / jnp.where(jnp.abs(state.direction) < 1e-12,
-                          jnp.where(state.direction < 0.0, -1e-12, 1e-12),
-                          state.direction)
-    o = state.org
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                          jnp.where(direction < 0.0, -1e-12, 1e-12),
+                          direction)
+    o = org
 
     def axis(k):
         t0 = (aabb[k][None, :] - o[:, k:k + 1]) * inv[:, k:k + 1]
@@ -123,7 +123,7 @@ def _signature_word(scene, state: PathState):
     n1, f1 = axis(1)
     n2, f2 = axis(2)
     tnear = jnp.maximum(jnp.maximum(jnp.maximum(n0, n1), n2),
-                        state.min_t[:, None])
+                        min_t[:, None])
     tfar = jnp.minimum(jnp.minimum(f0, f1), f2)
     mask = tnear <= tfar * 1.00000024
     k = aabb.shape[1]
@@ -156,7 +156,7 @@ def compact_state(state: PathState, scene) -> PathState:
     import os
 
     if os.environ.get("PBRLAB_COMPACT_KEY", "signature") == "signature":
-        sig = _signature_word(scene, state)
+        sig = _signature_word(scene, state.direction, state.org, state.min_t)
     else:  # "none": dead/mode packing only (ablation knob)
         sig = jnp.zeros_like(state.rng)
     primary = (jnp.where(state.alive, 0, 2)
@@ -200,6 +200,79 @@ def compact_state(state: PathState, scene) -> PathState:
         lane=take(1).astype(jnp.int32),
         sample=take(1).astype(jnp.int32),
         depth=take(1).astype(jnp.int32))
+
+
+# --- packed loop carry (render_lanes_wavefront) -------------------------
+# The refill while_loop's carry rides as ONE [N, 32] f32 matrix instead
+# of the 19 PathState arrays. Why: with separate carries, every
+# compaction must CONCATENATE the state, gather it, and SLICE it back
+# into carry arrays — two full-state materializations per iteration
+# (~0.6 ms at 65k lanes, measured round 4: FULL compact 1.37 ms vs
+# signature 0.10 + argsort 0.47 + pack+gather 0.18). With the packed
+# carry the gather permutes the carry ITSELF; the unpack slices at the
+# top of the body fuse into their consumers and the pack concatenate is
+# the carry write the loop needs anyway. unpack(pack(s)) == s exactly
+# (f32 unchanged; ints < 2^24 exact through f32; rng bitcast), so images
+# are bit-identical to the unpacked round-4 loop.
+
+_PACK_COLS = 32  # layout below; update both functions together
+
+
+def pack_state(state: PathState) -> jnp.ndarray:
+    """PathState -> [N, 32] f32 carry row (layout: org 0:3 | dir 3:6 |
+    min_t 6 | throughput 7:10 | contribution 10:13 | bsdf_pdf 13 |
+    rng 14 (bitcast) | alive 15 | first 16 | mode 17 | vol_first 18 |
+    sss_sigma_t 19:22 | sss_sigma_s 22:25 | sss_tp 25:28 |
+    sss_instance 28 | lane 29 | sample 30 | depth 31)."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        state.org, state.direction, state.min_t[:, None],
+        state.throughput, state.contribution, state.bsdf_pdf[:, None],
+        lax.bitcast_convert_type(state.rng, f32)[:, None],
+        state.alive.astype(f32)[:, None], state.first.astype(f32)[:, None],
+        state.mode.astype(f32)[:, None],
+        state.vol_first.astype(f32)[:, None],
+        state.sss_sigma_t, state.sss_sigma_s, state.sss_tp,
+        state.sss_instance.astype(f32)[:, None],
+        state.lane.astype(f32)[:, None],
+        state.sample.astype(f32)[:, None],
+        state.depth.astype(f32)[:, None],
+    ], axis=1)
+
+
+def unpack_state(packed: jnp.ndarray) -> PathState:
+    """[N, 32] carry -> PathState (slices; fused into consumers)."""
+    i32 = jnp.int32
+    return PathState(
+        org=packed[:, 0:3], direction=packed[:, 3:6], min_t=packed[:, 6],
+        throughput=packed[:, 7:10], contribution=packed[:, 10:13],
+        bsdf_pdf=packed[:, 13],
+        rng=lax.bitcast_convert_type(packed[:, 14], jnp.uint32),
+        alive=packed[:, 15] > 0.5, first=packed[:, 16] > 0.5,
+        mode=packed[:, 17].astype(i32), vol_first=packed[:, 18] > 0.5,
+        sss_sigma_t=packed[:, 19:22], sss_sigma_s=packed[:, 22:25],
+        sss_tp=packed[:, 25:28],
+        sss_instance=packed[:, 28].astype(i32),
+        lane=packed[:, 29].astype(i32),
+        sample=packed[:, 30].astype(i32),
+        depth=packed[:, 31].astype(i32))
+
+
+def compact_packed(packed: jnp.ndarray, scene) -> jnp.ndarray:
+    """compact_state on the packed carry: same (dead, mode, signature)
+    key, ONE gather, no repack."""
+    import os
+
+    if os.environ.get("PBRLAB_COMPACT_KEY", "signature") == "signature":
+        sig = _signature_word(scene, packed[:, 3:6], packed[:, 0:3],
+                              packed[:, 6])
+    else:
+        sig = jnp.zeros((packed.shape[0],), jnp.uint32)
+    alive = packed[:, 15] > 0.5
+    mode = packed[:, 17].astype(jnp.int32)
+    primary = (jnp.where(alive, 0, 2) + mode).astype(jnp.uint32)
+    key = (primary << jnp.uint32(29)) | sig
+    return packed[jnp.argsort(key)]
 
 
 def _classify(direction, ng, ns):
@@ -900,12 +973,14 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
                         * ((n + n_lanes - 1) // n_lanes + 2)))
 
     def cond(carry):
-        state, fb, next_pixel, it = carry
-        pending = ~state.alive & (state.sample < spp)
-        return jnp.any(state.alive | pending) & (it < cap)
+        packed, fb, next_pixel, it = carry
+        alive = packed[:, 15] > 0.5
+        pending = ~alive & (packed[:, 30] < spp)
+        return jnp.any(alive | pending) & (it < cap)
 
     def body(carry):
-        state, fb, next_pixel, it = carry
+        packed, fb, next_pixel, it = carry
+        state = unpack_state(packed)
         state, fb, next_pixel = refill(state, fb, next_pixel)
         stepped = state.alive
         state = wavefront_step(scene, state, 0)
@@ -921,21 +996,24 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
         depth = jnp.where(stepped, state.depth + 1, state.depth)
         state = state._replace(
             depth=depth, alive=state.alive & (depth < max_steps))
+        packed = pack_state(state)
         if sort_every == 1 and os.environ.get("PBRLAB_SORT_DIRECT",
                                               "1") == "1":
             # unconditional: wrapping the always-true case in lax.cond
             # copies the whole state through both branches
-            state = compact_state(state, scene)
+            packed = compact_packed(packed, scene)
         elif sort_every:
-            state = lax.cond(
+            packed = lax.cond(
                 (it + 1) % sort_every == 0,
-                lambda st: compact_state(st, scene),
-                lambda st: st, state)
-        return state, fb, next_pixel, it + 1
+                lambda p: compact_packed(p, scene),
+                lambda p: p, packed)
+        return packed, fb, next_pixel, it + 1
 
     fb0 = jnp.zeros((n, 3), jnp.float32)
-    state, fb, _, iters = lax.while_loop(
-        cond, body, (state, fb0, jnp.int32(n_lanes), jnp.int32(0)))
+    packed, fb, _, iters = lax.while_loop(
+        cond, body, (pack_state(state), fb0, jnp.int32(n_lanes),
+                     jnp.int32(0)))
+    state = unpack_state(packed)
     # safety flush (loop normally retires every lane with its
     # contribution already flushed; this covers a cap exit)
     contrib = jnp.where(

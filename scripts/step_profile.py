@@ -137,7 +137,7 @@ def main():
         from pbrlab_tpu.render.integrator import _signature_word
 
         s = build_fat_tables(scene)
-        return _signature_word(s, st).sum()
+        return _signature_word(s, st.direction, st.org, st.min_t).sum()
 
     ISOLATED = {"compact": compact_only, "scatter_fb": scatter_fb,
                 "refill_math": refill_math, "signature": signature_only}
