@@ -913,24 +913,44 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
     # state.lane = currently claimed LOCAL pixel; state.sample = sample
     # index within that pixel; sample == spp marks a retired lane.
 
-    def refill(state, fb, next_pixel):
-        """Flush finished samples; advance sample or claim a new pixel.
+    # Amortized framebuffer flush: the per-iteration 65k-row scatter-add
+    # costs ~0.7 ms in-loop (round-5 loop_floor decomposition) although
+    # only ~hundreds of lanes flush per iteration — XLA scatter cost is
+    # per index row, not per active row. Instead each lane accumulates
+    # its pixel's finished samples in a carried pix_acc column (same
+    # order as the old per-sample scatters: fb rows stay bit-identical
+    # because a pixel is only ever touched by one lane), parks the total
+    # in a pend slot when the pixel completes, and the scatter runs once
+    # per flush_every sub-iterations (the while body is UNROLLED that
+    # many times — no lax.cond copies). Safe because a pixel takes
+    # >= spp >= flush_every sub-iterations, so a pend slot written in one
+    # trip is always drained before its lane can complete another pixel.
+    flush_every = max(1, min(int(os.environ.get("PBRLAB_FLUSH_EVERY", "4")),
+                             spp))
 
-        (A carried per-lane accumulator was tried instead of the
-        per-iteration fb scatter-add: widening the compacted state made
-        the whole render 15% SLOWER although the scatter is ~1.1 ms
-        isolated — the scatter overlaps the kernels; the wider state
-        does not. Measured 512^2/16spp: 3.05 s vs 3.52 s.)"""
+    # packed carry extension: 32 PathState cols + pix_acc 32:35 +
+    # pend_rgb 35:38 + pend_pix 38 (pend empty at every trip boundary)
+    def pack_ext(state, pix_acc, pend_rgb, pend_pix):
+        return jnp.concatenate([
+            pack_state(state), pix_acc, pend_rgb,
+            pend_pix.astype(jnp.float32)[:, None]], axis=1)
+
+    def refill(state, acc, fb, next_pixel):
+        """Flush finished samples into pix_acc; advance sample or claim a
+        new pixel; park completed pixels in the pend slot."""
+        pix_acc, pend_rgb, pend_pix = acc
         flush = ~state.alive & (state.sample < spp)
-        contrib = jnp.where(
+        pix_acc = pix_acc + jnp.where(
             flush[..., None] & jnp.isfinite(state.contribution),
             state.contribution, 0.0)
-        fb = fb.at[jnp.minimum(state.lane, n - 1)].add(contrib)
         contribution = jnp.where(flush[..., None], 0.0, state.contribution)
 
         sn = state.sample + 1
         adv = flush & (sn < spp)  # next sample of the same pixel
         want = flush & (sn >= spp)  # pixel finished: claim the next one
+        pend_rgb = jnp.where(want[..., None], pix_acc, pend_rgb)
+        pend_pix = jnp.where(want, state.lane, pend_pix)
+        pix_acc = jnp.where(want[..., None], 0.0, pix_acc)
         rank = jnp.cumsum(want.astype(jnp.int32)) - 1
         newp = next_pixel + rank
         got = want & (newp < n)
@@ -964,7 +984,7 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
             sample=s2,
             depth=jnp.where(need, 0, state.depth).astype(jnp.int32),
             contribution=contribution,
-        ), fb, next_pixel
+        ), (pix_acc, pend_rgb, pend_pix), fb, next_pixel
 
     # generous iteration cap (each pixel costs <= spp * max_steps *
     # (1 + k_volume) iterations on one lane; claims overlap lanes)
@@ -980,46 +1000,65 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
 
     def body(carry):
         packed, fb, next_pixel, it = carry
-        state = unpack_state(packed)
-        state, fb, next_pixel = refill(state, fb, next_pixel)
-        stepped = state.alive
-        state = wavefront_step(scene, state, 0)
-        if k_volume:
-            def vol_substeps(st):
-                for _ in range(k_volume):
-                    st = wavefront_step(scene, st, 0, freeze_surface=True)
-                return st
+        for sub in range(flush_every):
+            state = unpack_state(packed)
+            acc = (packed[:, 32:35], packed[:, 35:38],
+                   packed[:, 38].astype(jnp.int32))
+            state, acc, fb, next_pixel = refill(state, acc, fb, next_pixel)
+            stepped = state.alive
+            state = wavefront_step(scene, state, 0)
+            if k_volume:
+                def vol_substeps(st):
+                    for _ in range(k_volume):
+                        st = wavefront_step(scene, st, 0,
+                                            freeze_surface=True)
+                    return st
 
-            any_vol = jnp.any(state.alive & (state.mode == MODE_VOLUME))
-            state = lax.cond(any_vol, vol_substeps, lambda st: st, state)
-        # per-sample step budget (the spp scan runs exactly max_steps)
-        depth = jnp.where(stepped, state.depth + 1, state.depth)
-        state = state._replace(
-            depth=depth, alive=state.alive & (depth < max_steps))
-        packed = pack_state(state)
-        if sort_every == 1 and os.environ.get("PBRLAB_SORT_DIRECT",
-                                              "1") == "1":
-            # unconditional: wrapping the always-true case in lax.cond
-            # copies the whole state through both branches
-            packed = compact_packed(packed, scene)
-        elif sort_every:
-            packed = lax.cond(
-                (it + 1) % sort_every == 0,
-                lambda p: compact_packed(p, scene),
-                lambda p: p, packed)
-        return packed, fb, next_pixel, it + 1
+                any_vol = jnp.any(state.alive & (state.mode == MODE_VOLUME))
+                state = lax.cond(any_vol, vol_substeps, lambda st: st,
+                                 state)
+            # per-sample step budget (the spp scan runs exactly max_steps)
+            depth = jnp.where(stepped, state.depth + 1, state.depth)
+            state = state._replace(
+                depth=depth, alive=state.alive & (depth < max_steps))
+            packed = pack_ext(state, *acc)
+            if sort_every == 1 and os.environ.get("PBRLAB_SORT_DIRECT",
+                                                  "1") == "1":
+                # unconditional: wrapping the always-true case in lax.cond
+                # copies the whole state through both branches
+                packed = compact_packed(packed, scene)
+            elif sort_every:
+                packed = lax.cond(
+                    (it + sub + 1) % sort_every == 0,
+                    lambda p: compact_packed(p, scene),
+                    lambda p: p, packed)
+        # amortized framebuffer flush: drain every pend slot once per trip
+        pend_pix = packed[:, 38].astype(jnp.int32)
+        fb = fb.at[jnp.clip(pend_pix, 0, n - 1)].add(
+            jnp.where((pend_pix >= 0)[:, None], packed[:, 35:38], 0.0))
+        packed = jnp.concatenate([
+            packed[:, :35], jnp.zeros((packed.shape[0], 3), jnp.float32),
+            jnp.full((packed.shape[0], 1), -1.0, jnp.float32)], axis=1)
+        return packed, fb, next_pixel, it + flush_every
 
     fb0 = jnp.zeros((n, 3), jnp.float32)
+    n_l = state.org.shape[0]
+    packed0 = pack_ext(state, jnp.zeros((n_l, 3), jnp.float32),
+                       jnp.zeros((n_l, 3), jnp.float32),
+                       jnp.full((n_l,), -1, jnp.int32))
     packed, fb, _, iters = lax.while_loop(
-        cond, body, (pack_state(state), fb0, jnp.int32(n_lanes),
-                     jnp.int32(0)))
+        cond, body, (packed0, fb0, jnp.int32(n_lanes), jnp.int32(0)))
     state = unpack_state(packed)
     # safety flush (loop normally retires every lane with its
-    # contribution already flushed; this covers a cap exit)
+    # contribution already flushed; this covers a cap exit): the current
+    # pixel's accumulated finished samples (pix_acc; zero on retired
+    # lanes) plus the in-flight sample's contribution. pend slots are
+    # always drained at trip end, so nothing else is outstanding.
     contrib = jnp.where(
         ((state.sample < spp) & ~state.alive)[..., None]
         & jnp.isfinite(state.contribution), state.contribution, 0.0)
-    fb = fb.at[jnp.minimum(state.lane, n - 1)].add(contrib)
+    fb = fb.at[jnp.minimum(state.lane, n - 1)].add(
+        packed[:, 32:35] + contrib)
     if return_iters:
         return fb, iters
     return fb

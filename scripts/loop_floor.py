@@ -68,6 +68,33 @@ def build_probes(scene, spp=8):
         # the full production compaction (signature + argsort + gather)
         return compact_packed(packed, scene), fb, np_, it + 1
 
+    def p_scatter(packed, fb, np_, it):
+        # compaction + the flush test + fb scatter-add only
+        st = unpack_state(packed)
+        flush = ~st.alive & (st.sample < spp)
+        contrib = jnp.where(flush[..., None], st.contribution, 0.0)
+        fb = fb.at[jnp.minimum(st.lane, n - 1)].add(contrib)
+        st = st._replace(contribution=jnp.where(flush[..., None], 0.0,
+                                                st.contribution))
+        return compact_packed(pack_state(st), scene), fb, np_, it + 1
+
+    def p_claim(packed, fb, np_, it):
+        # + the cumsum-rank pixel claim (no camera/PCG)
+        st = unpack_state(packed)
+        flush = ~st.alive & (st.sample < spp)
+        contrib = jnp.where(flush[..., None], st.contribution, 0.0)
+        fb = fb.at[jnp.minimum(st.lane, n - 1)].add(contrib)
+        want = flush & (st.sample + 1 >= spp)
+        rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+        newp = np_ + rank
+        got = want & (newp < n)
+        p_loc = jnp.where(got, newp, st.lane)
+        np_ = jnp.minimum(np_ + want.sum(dtype=jnp.int32), jnp.int32(n))
+        st = st._replace(contribution=jnp.where(flush[..., None], 0.0,
+                                                st.contribution),
+                         lane=p_loc)
+        return compact_packed(pack_state(st), scene), fb, np_, it + 1
+
     def p_refill(packed, fb, np_, it):
         # compaction + the refill body (flush/claim/camera/PCG)
         st = unpack_state(packed)
@@ -107,6 +134,8 @@ def build_probes(scene, spp=8):
             ("signature", p_signature),
             ("sig+sort", p_sort),
             ("compact(full)", p_compact),
+            ("compact+scatter", p_scatter),
+            ("compact+claim", p_claim),
             ("compact+refill", p_refill),
             ("step only", p_step_nocompact),
             ("step+compact", p_full)]
@@ -146,32 +175,50 @@ def main():
 
         return jax.jit(run)
 
+    # These while_loop probes ALSO hit the second-execution
+    # INVALID_ARGUMENT backend bug -> every program executes exactly once.
+    # Two independently compiled (A, B) pairs per probe (iter counts
+    # offset by 1 -> distinct executables) give two dt estimates; take
+    # the min. A burn-in of distinct tiny programs sheds the decaying
+    # post-compile penalty before anything is timed.
     tags = [t for t, _ in build_probes(build_fat_tables(scene_host))]
     jobs = []
     for tag in tags:
-        fa = make(tag, ITER_A)
-        fb = make(tag, ITER_B)
+        pair = []
         t0 = time.perf_counter()
-        fa.lower(scene_host, packed0).compile()
-        fb.lower(scene_host, packed0).compile()
+        for off in (0, 1):
+            fa = make(tag, ITER_A + off)
+            fb = make(tag, ITER_B + off)
+            fa.lower(scene_host, packed0).compile()
+            fb.lower(scene_host, packed0).compile()
+            pair.append((fa, fb))
         print(f"compiled {tag} ({time.perf_counter() - t0:.0f}s)",
               file=sys.stderr)
-        jobs.append((tag, fa, fb))
+        jobs.append((tag, pair))
 
-    sac = make(tags[0], 2)
-    np.asarray(sac(scene_host, packed0))  # sacrificial exec
+    for it in (2, 3):  # burn-in: distinct programs, executed once each
+        sac = make(tags[0], it)
+        sac.lower(scene_host, packed0).compile()
+        np.asarray(sac(scene_host, packed0))
+
+    def wall(f):
+        t0 = time.perf_counter()
+        np.asarray(f(scene_host, packed0))
+        return time.perf_counter() - t0
 
     prev = 0.0
-    for tag, fa, fb in jobs:
-        ta = time.perf_counter()
-        np.asarray(fa(scene_host, packed0))
-        ta = time.perf_counter() - ta
-        tb = time.perf_counter()
-        np.asarray(fb(scene_host, packed0))
-        tb = time.perf_counter() - tb
-        dt = (tb - ta) / (ITER_B - ITER_A)
+    for tag, pair in jobs:
+        dts, walls = [], []
+        for fa, fb in pair:
+            ta, tb = wall(fa), wall(fb)
+            dts.append((tb - ta) / (ITER_B - ITER_A))
+            walls += [ta, tb]
+        dt = min(dts)
         print(f"{tag:16s} {dt * 1e3:7.3f} ms/iter  (delta "
-              f"{(dt - prev) * 1e3:+7.3f})", file=sys.stderr)
+              f"{(dt - prev) * 1e3:+7.3f})  [dts "
+              f"{', '.join(f'{d * 1e3:.3f}' for d in dts)}; walls "
+              f"{', '.join(f'{w * 1e3:.0f}' for w in walls)}]",
+              file=sys.stderr)
         prev = dt
 
 
