@@ -457,3 +457,56 @@ def occluded_scene(scene, org, direction, min_t, max_t, backend=None):
     if has_curves(scene):
         occ = occ | _occluded_curve(scene, org, direction, min_t, max_t)
     return occ
+
+
+def trace_scene_dual(scene, org, direction, min_t, max_t,
+                     sdir, smin_t, smax_t, backend=None):
+    """Closest hit + shadow any-hit where both queries share the origin
+    (the deferred-NEE step: one rtcIntersect1 + one rtcOccluded1 per
+    bounce, raytracer_impl.cc:268-287, fused into ONE kernel launch that
+    walks the BVH once for both). Returns (trace_scene-style dict,
+    occluded bool). Falls back to separate launches for backends without
+    a dual kernel (bvh/CPU, v5l/v5s/v5i large-scene paths). Disable the
+    fused path with PBRLAB_DUAL=0 (trace-time knob)."""
+    import os
+
+    backend = backend or _tri_backend(scene)
+    dual = None
+    if os.environ.get("PBRLAB_DUAL", "1") == "1":
+        interp = jax.default_backend() == "cpu"
+        if backend == "dense4":
+            from .pallas.dense_v4 import dense_trace_v4_dual
+
+            dual = dense_trace_v4_dual(
+                scene["dense_tris_v4"], scene["dense_cluster_aabb_v4"],
+                org, direction, min_t, max_t, sdir, smin_t, smax_t,
+                interpret=interp)
+        elif backend == "dense5":
+            from .pallas.dense_v5 import dense_trace_v5_dual
+
+            dual = dense_trace_v5_dual(
+                scene["dense_tris_v4"], scene["v5_node_aabb"],
+                scene["v5_node_meta"], org, direction, min_t, max_t,
+                sdir, smin_t, smax_t, interpret=interp)
+    if dual is None:
+        tri = _closest_tri(scene, org, direction, min_t, max_t, backend)
+        occ = _occluded_tri(scene, org, sdir, smin_t, smax_t, backend)
+    else:
+        tri, occ = dual
+    n = org.shape[0]
+    if not has_curves(scene):
+        return ({**tri, "seg": jnp.full((n,), -1, jnp.int32),
+                 "is_curve": jnp.zeros((n,), bool),
+                 "tangent": jnp.zeros((n, 3), jnp.float32)}, occ)
+    cur = _closest_curve(scene, org, direction, min_t, max_t)
+    occ = occ | _occluded_curve(scene, org, sdir, smin_t, smax_t)
+    curve_closer = (cur["seg"] >= 0) & (cur["t"] < tri["t"])
+    return ({
+        "t": jnp.where(curve_closer, cur["t"], tri["t"]),
+        "u": jnp.where(curve_closer, cur["u"], tri["u"]),
+        "v": jnp.where(curve_closer, cur["v"], tri["v"]),
+        "prim": jnp.where(curve_closer, -1, tri["prim"]),
+        "seg": jnp.where(curve_closer, cur["seg"], -1),
+        "is_curve": curve_closer,
+        "tangent": cur["tangent"],
+    }, occ)

@@ -245,6 +245,189 @@ def exact_group_survivors(cluster_aabb, org, direction, min_t, max_t,
     return gm, tnear_lo
 
 
+def _trace_kernel_dual(ray_ref, tri_ref, surv_ref, cnt_ref, tnear_ref,
+                       out_ref, *, cluster):
+    """Dual-query variant: one 1024-LANE group per grid step, each lane
+    carrying a closest-hit query AND an any-hit (shadow) query that SHARE
+    the ray origin (deferred NEE: the shadow ray leaves the same hit
+    point as the continuation ray). One survivor walk serves both: the
+    per-triangle SMEM scalar fetches and the three origin dot products
+    are paid once, and overlapping footprints (common near-origin
+    clusters) are visited once instead of twice.
+
+    ray_ref [1, 16, 8, 128]: rows 0:3 org | 3:6 closest dir | 6 mint_c |
+      7 maxt_c | 8:11 shadow dir | 11 mint_s | 12 maxt_s (< mint_s = no
+      shadow query) | 13:16 pad.
+    out_ref [1, 8, 8, 128]: rows t, u, v, prim, hit, occluded, 0, 0.
+    Survivor lists must cover the UNION of both queries' slab tests.
+    """
+    n_surv_max = surv_ref.shape[2]
+    g = 0
+    ox = ray_ref[g, 0]
+    oy = ray_ref[g, 1]
+    oz = ray_ref[g, 2]
+    dx = ray_ref[g, 3]
+    dy = ray_ref[g, 4]
+    dz = ray_ref[g, 5]
+    mint = ray_ref[g, 6]
+    maxt = ray_ref[g, 7]
+    sx = ray_ref[g, 8]
+    sy = ray_ref[g, 9]
+    sz = ray_ref[g, 10]
+    smint = ray_ref[g, 11]
+    smaxt = ray_ref[g, 12]
+
+    best_t = maxt
+    zero = jnp.zeros_like(ox)
+    best_u = zero
+    best_v = zero
+    best_p = zero - 1.0
+    occ = zero  # 1.0 once the shadow query finds any hit
+    s_dead = smaxt < smint  # no shadow query on this lane
+
+    def cond(carry):
+        si, best_t, best_u, best_v, best_p, occ = carry
+        live = si < cnt_ref[g, 0, 0]
+        nxt = tnear_ref[g, 0, jnp.minimum(si, n_surv_max - 1)]
+        nxt_pad = nxt * (1.0 - 1e-6) - 1e-6
+        can_c = jnp.max(best_t) > nxt_pad
+        # unresolved shadow lanes can still be occluded by clusters
+        # entered before their maxt
+        gs = jnp.max(jnp.where(s_dead | (occ > 0.0), -1.0, smaxt))
+        can_s = gs > nxt_pad
+        return live & (can_c | can_s)
+
+    def body(carry):
+        si, best_t, best_u, best_v, best_p, occ = carry
+        base = surv_ref[g, 0, si] * cluster
+        for k in range(cluster):
+            i = base + k
+            nx = tri_ref[0, i]
+            ny = tri_ref[1, i]
+            nz = tri_ref[2, i]
+            k0 = tri_ref[3, i]
+            b1x = tri_ref[4, i]
+            b1y = tri_ref[5, i]
+            b1z = tri_ref[6, i]
+            c1 = tri_ref[7, i]
+            b2x = tri_ref[8, i]
+            b2y = tri_ref[9, i]
+            b2z = tri_ref[10, i]
+            c2 = tri_ref[11, i]
+            # origin terms are shared by both queries
+            num = k0 - (ox * nx + oy * ny + oz * nz)
+            ob1 = ox * b1x + oy * b1y + oz * b1z - c1
+            ob2 = ox * b2x + oy * b2y + oz * b2z - c2
+            # closest-hit query
+            den = dx * nx + dy * ny + dz * nz
+            t = num / den
+            u = ob1 + t * (dx * b1x + dy * b1y + dz * b1z)
+            v = ob2 + t * (dx * b2x + dy * b2y + dz * b2z)
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= mint) & (t < best_t))
+            fi = i.astype(jnp.float32)
+            best_u = jnp.where(ok, u, best_u)
+            best_v = jnp.where(ok, v, best_v)
+            best_p = jnp.where(ok, fi, best_p)
+            best_t = jnp.where(ok, t, best_t)
+            # shadow any-hit query
+            dens = sx * nx + sy * ny + sz * nz
+            ts = num / dens
+            us = ob1 + ts * (sx * b1x + sy * b1y + sz * b1z)
+            vs = ob2 + ts * (sx * b2x + sy * b2y + sz * b2z)
+            oks = ((us >= 0.0) & (vs >= 0.0) & (us + vs <= 1.0)
+                   & (ts >= smint) & (ts < smaxt))
+            occ = jnp.where(oks, 1.0, occ)
+        return si + 1, best_t, best_u, best_v, best_p, occ
+
+    _, best_t, best_u, best_v, best_p, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best_t, best_u, best_v, best_p, occ))
+
+    found = best_p >= 0.0
+    out_ref[g, 0] = best_t
+    out_ref[g, 1] = best_u
+    out_ref[g, 2] = best_v
+    out_ref[g, 3] = best_p
+    out_ref[g, 4] = jnp.where(found, 1.0, 0.0)
+    out_ref[g, 5] = occ
+    out_ref[g, 6] = zero
+    out_ref[g, 7] = zero
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_trace_v4_dual(packed_tris, cluster_aabb, org, direction, min_t,
+                        max_t, sdir, smin_t, smax_t, interpret=False):
+    """Closest hit + shadow any-hit in ONE launch; the two queries of a
+    lane share the origin `org` (deferred NEE). Returns
+    (dict(t, u, v, prim), occluded bool). Shadow lanes with
+    smax_t < smin_t ask no shadow query (occluded=False)."""
+    n = org.shape[0]
+    n_pad = (n + TILE - 1) // TILE * TILE
+    pad = n_pad - n
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)])
+        sdir = jnp.concatenate([sdir, jnp.ones((pad, 3), sdir.dtype)])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), min_t.dtype)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0, max_t.dtype)])
+        smin_t = jnp.concatenate([smin_t, jnp.zeros((pad,), smin_t.dtype)])
+        smax_t = jnp.concatenate([smax_t, jnp.full((pad,), -1.0,
+                                                   smax_t.dtype)])
+    max_t = jnp.minimum(max_t, INF)
+    smax_t = jnp.minimum(smax_t, INF)
+
+    gm_c, tn_c = exact_group_survivors(cluster_aabb, org, direction,
+                                       min_t, max_t)
+    gm_s, tn_s = exact_group_survivors(cluster_aabb, org, sdir,
+                                       smin_t, smax_t)
+    gm = gm_c | gm_s
+    tnear_lo = jnp.minimum(tn_c, tn_s)
+    cnt = gm.sum(axis=1).astype(jnp.int32)[:, None]
+    key = jnp.where(gm, tnear_lo, _BIG)
+    surv = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    tnear_sorted = jnp.take_along_axis(key, surv, axis=1)
+
+    G = n_pad // GROUP
+    rays = jnp.stack([org[:, 0], org[:, 1], org[:, 2], direction[:, 0],
+                      direction[:, 1], direction[:, 2], min_t, max_t,
+                      sdir[:, 0], sdir[:, 1], sdir[:, 2], smin_t, smax_t,
+                      min_t, min_t, min_t])
+    rays = rays.reshape(16, G, 8, 128).transpose(1, 0, 2, 3)
+
+    M = cluster_aabb.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_trace_kernel_dual, cluster=CLUSTER),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 16, 8, 128), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed_tris.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, M), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, M), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 8, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 8, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(rays, packed_tris, surv[:, None, :], cnt[:, :, None],
+      tnear_sorted[:, None, :])
+
+    out = out.transpose(1, 0, 2, 3).reshape(8, n_pad)
+    hit = out[4, :n] > 0.0
+    return {
+        "t": jnp.where(hit, out[0, :n], INF),
+        "u": out[1, :n],
+        "v": out[2, :n],
+        "prim": jnp.where(hit, out[3, :n].astype(jnp.int32), -1),
+    }, out[5, :n] > 0.0
+
+
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
 def dense_trace_v4(packed_tris, cluster_aabb, org, direction, min_t, max_t,
                    any_hit=False, interpret=False):

@@ -354,6 +354,269 @@ def dense_trace_v5(packed_tris, node_aabb, node_meta, org, direction,
     }
 
 
+def _trace_kernel_dual(ray_ref, tri_ref, naabb_ref, nmeta_ref, out_ref,
+                       stk_id, stk_tn, *, cluster):
+    """Dual-query packet traversal: each lane carries a closest-hit query
+    and a shadow any-hit query sharing the ray ORIGIN (deferred NEE).
+    One stack walk serves both: a node is descended if EITHER query set
+    can enter it, per-triangle SMEM scalars and origin dot products are
+    paid once, and overlapping footprints are visited once.
+
+    ray_ref [1, 16, 8, 128]: rows 0:3 org | 3:6 dir_c | 6 mint_c |
+    7 maxt_c | 8:11 dir_s | 11 mint_s | 12 maxt_s | 13:16 pad.
+    out_ref rows: t, u, v, prim, hit, occluded, 0, 0.
+    """
+    ox = ray_ref[0, 0]
+    oy = ray_ref[0, 1]
+    oz = ray_ref[0, 2]
+    dx = ray_ref[0, 3]
+    dy = ray_ref[0, 4]
+    dz = ray_ref[0, 5]
+    mint = ray_ref[0, 6]
+    maxt = ray_ref[0, 7]
+    sx = ray_ref[0, 8]
+    sy = ray_ref[0, 9]
+    sz = ray_ref[0, 10]
+    smint = ray_ref[0, 11]
+    smaxt = ray_ref[0, 12]
+
+    eps = jnp.float32(1e-12)
+
+    def inv3(x, y, z):
+        ix = 1.0 / jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
+        iy = 1.0 / jnp.where(jnp.abs(y) < eps, jnp.where(y < 0, -eps, eps), y)
+        iz = 1.0 / jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+        return ix, iy, iz
+
+    idx, idy, idz = inv3(dx, dy, dz)
+    isx, isy, isz = inv3(sx, sy, sz)
+    oxx = ox * idx
+    oyy = oy * idy
+    ozz = oz * idz
+    oxs = ox * isx
+    oys = oy * isy
+    ozs = oz * isz
+
+    best_t = maxt
+    zero = jnp.zeros_like(ox)
+    best_u = zero
+    best_v = zero
+    best_p = zero - 1.0
+    occ = zero
+    s_dead = smaxt < smint
+
+    gmax = jnp.maximum(jnp.max(best_t),
+                       jnp.max(jnp.where(s_dead, -1.0, smaxt)))
+    stk_id[0] = jnp.int32(0)
+    stk_tn[0] = jnp.float32(-1e30)
+    sp0 = jnp.where(gmax >= 0.0, jnp.int32(1), jnp.int32(0))
+
+    slop = jnp.float32(1.00000024)
+    big = jnp.float32(_BIG)
+
+    def slab(node, best_t, occ):
+        """Union entry-t over both query sets (BIG = neither can enter)."""
+        t0 = naabb_ref[0, node] * idx - oxx
+        t1 = naabb_ref[3, node] * idx - oxx
+        nx = jnp.minimum(t0, t1)
+        fx = jnp.maximum(t0, t1)
+        t0 = naabb_ref[1, node] * idy - oyy
+        t1 = naabb_ref[4, node] * idy - oyy
+        ny = jnp.minimum(t0, t1)
+        fy = jnp.maximum(t0, t1)
+        t0 = naabb_ref[2, node] * idz - ozz
+        t1 = naabb_ref[5, node] * idz - ozz
+        nz = jnp.minimum(t0, t1)
+        fz = jnp.maximum(t0, t1)
+        tnear = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, mint))
+        tfar = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, best_t))
+        tc = jnp.min(jnp.where(tnear <= tfar * slop, tnear, big))
+        t0 = naabb_ref[0, node] * isx - oxs
+        t1 = naabb_ref[3, node] * isx - oxs
+        nx = jnp.minimum(t0, t1)
+        fx = jnp.maximum(t0, t1)
+        t0 = naabb_ref[1, node] * isy - oys
+        t1 = naabb_ref[4, node] * isy - oys
+        ny = jnp.minimum(t0, t1)
+        fy = jnp.maximum(t0, t1)
+        t0 = naabb_ref[2, node] * isz - ozs
+        t1 = naabb_ref[5, node] * isz - ozs
+        nz = jnp.minimum(t0, t1)
+        fz = jnp.maximum(t0, t1)
+        cap = jnp.where(s_dead | (occ > 0.0), -big, smaxt)
+        tnear = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, smint))
+        tfar = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, cap))
+        ts = jnp.min(jnp.where(tnear <= tfar * slop, tnear, big))
+        return jnp.minimum(tc, ts)
+
+    def cond(carry):
+        return carry[0] > 0
+
+    def body(carry):
+        sp, best_t, best_u, best_v, best_p, occ, gmax = carry
+        sp = sp - 1
+        node = stk_id[sp]
+        tn_pop = stk_tn[sp]
+        live = tn_pop * (1.0 - 1e-6) - 1e-6 <= gmax
+
+        def visit(carry):
+            sp, best_t, best_u, best_v, best_p, occ, gmax = carry
+            right = nmeta_ref[0, node]
+
+            def leaf(carry):
+                sp, best_t, best_u, best_v, best_p, occ, gmax = carry
+                base = nmeta_ref[1, node]
+                for k in range(cluster):
+                    i = base + k
+                    nx = tri_ref[0, i]
+                    ny = tri_ref[1, i]
+                    nz = tri_ref[2, i]
+                    k0 = tri_ref[3, i]
+                    b1x = tri_ref[4, i]
+                    b1y = tri_ref[5, i]
+                    b1z = tri_ref[6, i]
+                    c1 = tri_ref[7, i]
+                    b2x = tri_ref[8, i]
+                    b2y = tri_ref[9, i]
+                    b2z = tri_ref[10, i]
+                    c2 = tri_ref[11, i]
+                    num = k0 - (ox * nx + oy * ny + oz * nz)
+                    ob1 = ox * b1x + oy * b1y + oz * b1z - c1
+                    ob2 = ox * b2x + oy * b2y + oz * b2z - c2
+                    den = dx * nx + dy * ny + dz * nz
+                    t = num / den
+                    u = ob1 + t * (dx * b1x + dy * b1y + dz * b1z)
+                    v = ob2 + t * (dx * b2x + dy * b2y + dz * b2z)
+                    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                          & (t >= mint) & (t < best_t))
+                    fi = i.astype(jnp.float32)
+                    best_u = jnp.where(ok, u, best_u)
+                    best_v = jnp.where(ok, v, best_v)
+                    best_p = jnp.where(ok, fi, best_p)
+                    best_t = jnp.where(ok, t, best_t)
+                    dens = sx * nx + sy * ny + sz * nz
+                    ts = num / dens
+                    us = ob1 + ts * (sx * b1x + sy * b1y + sz * b1z)
+                    vs = ob2 + ts * (sx * b2x + sy * b2y + sz * b2z)
+                    oks = ((us >= 0.0) & (vs >= 0.0) & (us + vs <= 1.0)
+                           & (ts >= smint) & (ts < smaxt))
+                    occ = jnp.where(oks, 1.0, occ)
+                gmax = jnp.maximum(
+                    jnp.max(best_t),
+                    jnp.max(jnp.where(s_dead | (occ > 0.0), -1.0, smaxt)))
+                return sp, best_t, best_u, best_v, best_p, occ, gmax
+
+            def internal(carry):
+                sp, best_t, best_u, best_v, best_p, occ, gmax = carry
+                left = node + 1
+                tn_l = slab(left, best_t, occ)
+                tn_r = slab(right, best_t, occ)
+                l_far = tn_l > tn_r
+                far_id = jnp.where(l_far, left, right)
+                far_tn = jnp.maximum(tn_l, tn_r)
+                near_id = jnp.where(l_far, right, left)
+                near_tn = jnp.minimum(tn_l, tn_r)
+                hit_far = far_tn < big
+                hit_near = near_tn < big
+
+                @pl.when(hit_far)
+                def _():
+                    stk_id[sp] = far_id
+                    stk_tn[sp] = far_tn
+
+                sp1 = sp + hit_far.astype(jnp.int32)
+
+                @pl.when(hit_near)
+                def _():
+                    stk_id[sp1] = near_id
+                    stk_tn[sp1] = near_tn
+
+                sp2 = sp1 + hit_near.astype(jnp.int32)
+                return sp2, best_t, best_u, best_v, best_p, occ, gmax
+
+            return jax.lax.cond(right < 0, leaf, internal, carry)
+
+        return jax.lax.cond(
+            live, visit, lambda c: c,
+            (sp, best_t, best_u, best_v, best_p, occ, gmax))
+
+    _, best_t, best_u, best_v, best_p, occ, _ = jax.lax.while_loop(
+        cond, body, (sp0, best_t, best_u, best_v, best_p, occ, gmax))
+
+    found = best_p >= 0.0
+    out_ref[0, 0] = best_t
+    out_ref[0, 1] = best_u
+    out_ref[0, 2] = best_v
+    out_ref[0, 3] = best_p
+    out_ref[0, 4] = jnp.where(found, 1.0, 0.0)
+    out_ref[0, 5] = occ
+    out_ref[0, 6] = zero
+    out_ref[0, 7] = zero
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_trace_v5_dual(packed_tris, node_aabb, node_meta, org, direction,
+                        min_t, max_t, sdir, smin_t, smax_t,
+                        interpret=False):
+    """Closest + shadow any-hit in one packet-traversal launch (queries
+    share the origin). Returns (dict(t, u, v, prim), occluded bool)."""
+    n = org.shape[0]
+    n_pad = (n + GROUP - 1) // GROUP * GROUP
+    pad = n_pad - n
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)])
+        sdir = jnp.concatenate([sdir, jnp.ones((pad, 3), sdir.dtype)])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), min_t.dtype)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0,
+                                                 max_t.dtype)])
+        smin_t = jnp.concatenate([smin_t, jnp.zeros((pad,), smin_t.dtype)])
+        smax_t = jnp.concatenate([smax_t, jnp.full((pad,), -1.0,
+                                                   smax_t.dtype)])
+    max_t = jnp.minimum(max_t, INF)
+    smax_t = jnp.minimum(smax_t, INF)
+
+    G = n_pad // GROUP
+    rays = jnp.stack([org[:, 0], org[:, 1], org[:, 2], direction[:, 0],
+                      direction[:, 1], direction[:, 2], min_t, max_t,
+                      sdir[:, 0], sdir[:, 1], sdir[:, 2], smin_t, smax_t,
+                      min_t, min_t, min_t])
+    rays = rays.reshape(16, G, 8, 128).transpose(1, 0, 2, 3)
+
+    out = pl.pallas_call(
+        functools.partial(_trace_kernel_dual, cluster=CLUSTER),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 16, 8, 128), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed_tris.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(node_aabb.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(node_meta.shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 8, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 8, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.SMEM((STACK,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, packed_tris, node_aabb, node_meta)
+
+    out = out.transpose(1, 0, 2, 3).reshape(8, n_pad)
+    hit = out[4, :n] > 0.0
+    return {
+        "t": jnp.where(hit, out[0, :n], INF),
+        "u": out[1, :n],
+        "v": out[2, :n],
+        "prim": jnp.where(hit, out[3, :n].astype(jnp.int32), -1),
+    }, out[5, :n] > 0.0
+
+
 # ---------------------------------------------------------------------------
 # V5L: large-scene variant. The v5e SMEM budget is 1 MB; the SMEM-resident
 # triangle table caps out around ~20k slots (measured: 58k slots -> Mosaic

@@ -93,6 +93,13 @@ class PathState(NamedTuple):
     lane: jnp.ndarray  # [N] original lane slot (for image assembly)
     sample: jnp.ndarray  # [N] job cursor (persistent-lane refill)
     depth: jnp.ndarray  # [N] full steps taken for the current sample
+    # deferred NEE (full steps emit the shadow ray at shade time and
+    # resolve it inside the NEXT step's trace launch — the reference pays
+    # one rtcOccluded1 per bounce, raytracer_impl.cc:281-287; here the
+    # shadow query shares the closest-hit launch/traversal instead):
+    nee_dir: jnp.ndarray  # [N,3] pending shadow direction (origin = org)
+    nee_contrib: jnp.ndarray  # [N,3] contribution if unoccluded
+    nee_maxt: jnp.ndarray  # [N] shadow max distance; < 0 = no pending
 
 
 def _signature_word(scene, direction, org, min_t):
@@ -180,6 +187,7 @@ def compact_state(state: PathState, scene) -> PathState:
         state.lane.astype(f32)[:, None],
         state.sample.astype(f32)[:, None],
         state.depth.astype(f32)[:, None],
+        state.nee_dir, state.nee_contrib, state.nee_maxt[:, None],
     ]
     packed = jnp.concatenate(cols, axis=1)[perm]
     i = [0]
@@ -199,7 +207,8 @@ def compact_state(state: PathState, scene) -> PathState:
         sss_instance=take(1).astype(jnp.int32),
         lane=take(1).astype(jnp.int32),
         sample=take(1).astype(jnp.int32),
-        depth=take(1).astype(jnp.int32))
+        depth=take(1).astype(jnp.int32),
+        nee_dir=take(3), nee_contrib=take(3), nee_maxt=take(1))
 
 
 # --- packed loop carry (render_lanes_wavefront) -------------------------
@@ -215,15 +224,16 @@ def compact_state(state: PathState, scene) -> PathState:
 # (f32 unchanged; ints < 2^24 exact through f32; rng bitcast), so images
 # are bit-identical to the unpacked round-4 loop.
 
-_PACK_COLS = 32  # layout below; update both functions together
+_PACK_COLS = 39  # layout below; update both functions together
 
 
 def pack_state(state: PathState) -> jnp.ndarray:
-    """PathState -> [N, 32] f32 carry row (layout: org 0:3 | dir 3:6 |
+    """PathState -> [N, 39] f32 carry row (layout: org 0:3 | dir 3:6 |
     min_t 6 | throughput 7:10 | contribution 10:13 | bsdf_pdf 13 |
     rng 14 (bitcast) | alive 15 | first 16 | mode 17 | vol_first 18 |
     sss_sigma_t 19:22 | sss_sigma_s 22:25 | sss_tp 25:28 |
-    sss_instance 28 | lane 29 | sample 30 | depth 31)."""
+    sss_instance 28 | lane 29 | sample 30 | depth 31 | nee_dir 32:35 |
+    nee_contrib 35:38 | nee_maxt 38)."""
     f32 = jnp.float32
     return jnp.concatenate([
         state.org, state.direction, state.min_t[:, None],
@@ -237,11 +247,12 @@ def pack_state(state: PathState) -> jnp.ndarray:
         state.lane.astype(f32)[:, None],
         state.sample.astype(f32)[:, None],
         state.depth.astype(f32)[:, None],
+        state.nee_dir, state.nee_contrib, state.nee_maxt[:, None],
     ], axis=1)
 
 
 def unpack_state(packed: jnp.ndarray) -> PathState:
-    """[N, 32] carry -> PathState (slices; fused into consumers)."""
+    """[N, 39] carry -> PathState (slices; fused into consumers)."""
     i32 = jnp.int32
     return PathState(
         org=packed[:, 0:3], direction=packed[:, 3:6], min_t=packed[:, 6],
@@ -255,7 +266,9 @@ def unpack_state(packed: jnp.ndarray) -> PathState:
         sss_instance=packed[:, 28].astype(i32),
         lane=packed[:, 29].astype(i32),
         sample=packed[:, 30].astype(i32),
-        depth=packed[:, 31].astype(i32))
+        depth=packed[:, 31].astype(i32),
+        nee_dir=packed[:, 32:35], nee_contrib=packed[:, 35:38],
+        nee_maxt=packed[:, 38])
 
 
 def compact_packed(packed: jnp.ndarray, scene) -> jnp.ndarray:
@@ -378,13 +391,20 @@ def _fetch_colors(scene, mat, uv):
 
 def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
          bsdf: PrincipledBsdf, hair_b, is_hair, u0, u1, u2, shade_mask,
-         trace_backend=None):
+         trace_backend=None, defer=False):
     """Next-event estimation (DirectIllumination, shader-utils.h:166-212).
 
     geom_normal is the normal used for the geometric terms: the flipped
     shading normal ez for principled lanes, the curve tangent ex for hair
     lanes (hair-shader.cc:190). Hair lanes skip the hemisphere check
     (hemisphere=false, :199) and divide f*cos by |omega_l.x| (:196-198).
+
+    defer=False traces the shadow ray immediately and returns the
+    occlusion-resolved contribution. defer=True returns
+    (contrib_if_unoccluded, shadow_dir, shadow_maxt) WITHOUT tracing —
+    the caller parks them in the path state and the NEXT step's trace
+    launch resolves the query (deferred NEE: the shadow ray shares the
+    closest-hit launch instead of paying its own).
     """
     light = sample_all_light(scene, u0, u1, u2)
     to_light = light.position - pos
@@ -401,13 +421,6 @@ def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
     hemisphere_ok = is_hair | ((wl_dot_nl > 0.0) & (wl_dot_np > 0.0))
     candidate = shade_mask & light.valid & hemisphere_ok & (pdf_sigma > 0.0)
     shadow_max = jnp.maximum(EPS, dist - EPS)
-    if "noshadow" in _ablations():  # profiling: NEE minus the shadow trace
-        occluded = pdf_sigma < -1.0
-    else:
-        occluded = occluded_scene(
-            scene, pos, wl, jnp.full_like(dist, EPS),
-            jnp.where(candidate, shadow_max, -1.0),
-            backend=trace_backend)
     omega_l = to_local(wl, ex, ey, ez)
     f, pdf_b = principled.eval_bsdf(omega_l, omega_out_local, bsdf)
     if hair_b is not None:
@@ -420,6 +433,18 @@ def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
         pdf_b = jnp.where(is_hair, pdf_h, pdf_b)
     w = power_heuristic_weight(pdf_sigma, pdf_b)
     contrib = f * light.emission * (w / jnp.maximum(pdf_sigma, 1e-12))[..., None]
+    if defer:
+        contrib = jnp.where(
+            candidate[..., None]
+            & jnp.isfinite(contrib).all(-1, keepdims=True), contrib, 0.0)
+        return contrib, wl, jnp.where(candidate, shadow_max, -1.0)
+    if "noshadow" in _ablations():  # profiling: NEE minus the shadow trace
+        occluded = pdf_sigma < -1.0
+    else:
+        occluded = occluded_scene(
+            scene, pos, wl, jnp.full_like(dist, EPS),
+            jnp.where(candidate, shadow_max, -1.0),
+            backend=trace_backend)
     ok = candidate & ~occluded
     contrib = jnp.where(ok[..., None] & jnp.isfinite(contrib).all(-1,
                                                                   keepdims=True),
@@ -428,18 +453,21 @@ def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
 
 
 def wavefront_step(scene, state: PathState, depth: int,
-                   freeze_surface: bool = False) -> PathState:
+                   freeze_surface: bool = False,
+                   resolve_pending: bool = False) -> PathState:
     """Advance every lane by one trace. See module docstring.
 
     freeze_surface=True runs a VOLUME-ONLY substep: surface-mode lanes do
     not trace, shade, or consume RNG draws — their state passes through
     untouched — while volume-mode lanes advance one random-walk step
-    (including the diffuse re-shade + NEE on a valid exit). This gives the
-    SSS walk its own step budget on top of the shared wavefront depth,
-    mirroring the reference's dedicated <=8192-step inner loop
+    (including the diffuse re-shade + deferred NEE on a valid exit). This
+    gives the SSS walk its own step budget on top of the shared wavefront
+    depth, mirroring the reference's dedicated <=8192-step inner loop
     (/root/reference/src/shader/random-walk-sss.h:281) without divergent
     control flow: render_lanes interleaves k_volume such substeps after
-    every full step.
+    every full step. Pass resolve_pending=True on the FIRST substep of
+    each group: volume-entry lanes' deferred NEE must resolve before the
+    walk moves their origin (full steps always resolve).
     """
     n = state.org.shape[0]
     abl = _ablations()
@@ -490,6 +518,25 @@ def wavefront_step(scene, state: PathState, depth: int,
         from ..ops.intersect import sparse_backend
 
         trace_backend = sparse_backend(scene)
+    nee_active = state.nee_maxt >= 0.0
+    # Which pendings does THIS step resolve? Full steps: all of them
+    # (origins are fixed once a lane leaves its shade point only by the
+    # volume walk, and walking lanes resolve earlier — see below).
+    # Substeps: only the first substep (resolve_pending=True), and only
+    # alive volume lanes — their origin is about to move with the walk;
+    # surface/dead pendings wait for the next full step, org unchanged.
+    if freeze_surface:
+        resolve_mask = (volume_mode & state.alive & nee_active
+                        if resolve_pending else jnp.zeros((n,), bool))
+    else:
+        resolve_mask = nee_active
+    # the pending shadow query shares the lane's ray ORIGIN, so it rides
+    # the closest-hit launch as a fused dual query where the backend has
+    # a dual kernel (dense4/dense5; others fall back to two launches)
+    fuse_dual = ("nonee" not in abl and "noshadow" not in abl
+                 and "notrace" not in abl
+                 and (not freeze_surface or resolve_pending))
+    occ_prev = None
     if "notrace" in abl:  # profiling: step cost minus the closest hit
         hit = {"t": jnp.abs(direction[:, 0]) + 2.0,
                "u": jnp.abs(min_t), "v": jnp.abs(min_t),
@@ -497,6 +544,15 @@ def wavefront_step(scene, state: PathState, depth: int,
                "seg": jnp.full((n,), -1, jnp.int32),
                "is_curve": jnp.zeros((n,), bool),
                "tangent": jnp.zeros((n, 3), jnp.float32)}
+    elif fuse_dual:
+        from ..ops.intersect import trace_scene_dual
+
+        hit, occ_prev = trace_scene_dual(
+            scene, state.org, direction, min_t, max_t,
+            state.nee_dir, jnp.full((n,), EPS, jnp.float32),
+            jnp.where(resolve_mask, state.nee_maxt, -1.0),
+            backend=trace_backend)
+        hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
     else:
         hit = jax.tree_util.tree_map(
             lax.stop_gradient,
@@ -539,6 +595,26 @@ def wavefront_step(scene, state: PathState, depth: int,
     alive = state.alive
     contribution = state.contribution
     throughput = state.throughput
+
+    # ------- resolve the deferred NEE shadow queries of resolve_mask -----
+    # (normally fused into the closest-hit launch above). Full steps run
+    # this for DEAD lanes too: a lane that emitted NEE and died in the
+    # same step resolves here before the refill may flush it. Add order
+    # into `contribution` is unchanged vs immediate NEE (nee_k lands
+    # before emis_{k+1}), so images match the round-4 integrator.
+    resolved_now = jnp.zeros((n,), bool)
+    if "nonee" not in abl:
+        if "noshadow" in abl:
+            occ_prev = resolve_mask & False
+        elif occ_prev is None:  # notrace ablation / no dual: separate
+            occ_prev = occluded_scene(
+                scene, state.org, state.nee_dir,
+                jnp.full((n,), EPS, jnp.float32),
+                jnp.where(resolve_mask, state.nee_maxt, -1.0),
+                backend=trace_backend)
+        contribution = contribution + jnp.where(
+            (resolve_mask & ~occ_prev)[..., None], state.nee_contrib, 0.0)
+        resolved_now = resolve_mask
 
     # =========== SURFACE lanes: emission MIS + russian roulette ==========
     s_alive = alive & surface_mode
@@ -677,14 +753,27 @@ def wavefront_step(scene, state: PathState, depth: int,
     else:
         hair_b = None
 
-    # --- NEE ---
+    # --- NEE: always deferred (shadow query resolved inside a LATER
+    # step's trace). Shade events here are surface hits + SSS exits on
+    # full steps, SSS exits only on substeps; either way the shade point
+    # is the lane's org until its next trace, so the parked query's
+    # implicit origin stays valid (volume-ENTRY lanes are the one case
+    # where org moves first — resolve_pending covers them above). ---
     rng_state, un = draw_n(rng_state, 3)
+    keep_maxt = jnp.where(resolved_now, -1.0, state.nee_maxt)
     if "nonee" not in abl:
-        nee = _nee(scene, pos, geom_normal, omega_out, ex, ey, ez, bsdf,
-                   hair_b, hair_lane, un[0], un[1], un[2], shade_mask,
-                   trace_backend=trace_backend)
-        contribution = contribution + jnp.where(shade_mask[..., None],
-                                                throughput * nee, 0.0)
+        nee_c, wl_nee, smax_nee = _nee(
+            scene, pos, geom_normal, omega_out, ex, ey, ez, bsdf,
+            hair_b, hair_lane, un[0], un[1], un[2], shade_mask,
+            defer=True)
+        sm = shade_mask[..., None]
+        new_nee_dir = jnp.where(sm, wl_nee, state.nee_dir)
+        new_nee_contrib = jnp.where(sm, throughput * nee_c,
+                                    state.nee_contrib)
+        new_nee_maxt = jnp.where(shade_mask, smax_nee, keep_maxt)
+    else:
+        new_nee_dir, new_nee_contrib = state.nee_dir, state.nee_contrib
+        new_nee_maxt = keep_maxt
 
     # --- closure sampling (principled: 3 draws; hair: 4,
     #     hair-shader.cc:207-211) ---
@@ -771,6 +860,8 @@ def wavefront_step(scene, state: PathState, depth: int,
         lane=state.lane,
         sample=state.sample,
         depth=state.depth,
+        nee_dir=new_nee_dir, nee_contrib=new_nee_contrib,
+        nee_maxt=new_nee_maxt,
     )
     if freeze_surface:
         # surface lanes (incl. their RNG stream) pass through untouched;
@@ -806,7 +897,9 @@ def init_state(scene, width: int, height: int, sample_id, seed,
         sss_instance=jnp.full((n,), -1, jnp.int32),
         lane=jnp.arange(n, dtype=jnp.int32),
         sample=jnp.zeros((n,), jnp.int32),
-        depth=jnp.zeros((n,), jnp.int32))
+        depth=jnp.zeros((n,), jnp.int32),
+        nee_dir=f3, nee_contrib=f3,
+        nee_maxt=jnp.full((n,), -1.0, jnp.float32))
 
 
 def render_lanes(scene, width: int, height: int, sample_id, seed=0,
@@ -834,9 +927,10 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
         state = wavefront_step(scene, state, depth)
         if k_volume:
             def vol_substeps(st):
-                for _ in range(k_volume):
+                for i in range(k_volume):
                     st = wavefront_step(scene, st, depth,
-                                        freeze_surface=True)
+                                        freeze_surface=True,
+                                        resolve_pending=(i == 0))
                 return st
 
             any_vol = jnp.any(state.alive & (state.mode == MODE_VOLUME))
@@ -851,8 +945,25 @@ def render_lanes(scene, width: int, height: int, sample_id, seed=0,
     state, _ = lax.scan(
         jax.checkpoint(body) if remat else body, state,
         jnp.arange(max_steps), unroll=1)
-    contribution = jnp.where(jnp.isfinite(state.contribution),
-                             state.contribution, 0.0)
+    # resolve the FINAL step's deferred NEE (wavefront_step resolves each
+    # step's pending query inside the next step's trace; the last one has
+    # no next step). One any-hit trace — the total shadow-trace count per
+    # sample is unchanged vs the round-4 immediate-NEE integrator.
+    abl = _ablations()
+    contribution = state.contribution
+    if "nonee" not in abl:
+        nee_active = state.nee_maxt >= 0.0
+        if "noshadow" in abl:
+            occ = jnp.zeros_like(nee_active)
+        else:
+            occ = occluded_scene(
+                scene, state.org, state.nee_dir,
+                jnp.full((n,), EPS, jnp.float32),
+                jnp.where(nee_active, state.nee_maxt, -1.0))
+        contribution = contribution + jnp.where(
+            (nee_active & ~occ)[..., None], state.nee_contrib, 0.0)
+    contribution = jnp.where(jnp.isfinite(contribution),
+                             contribution, 0.0)
     if sort_every:
         # scatter back to original lane order
         contribution = jnp.zeros((n, 3), jnp.float32).at[state.lane].set(
@@ -928,8 +1039,10 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
     flush_every = max(1, min(int(os.environ.get("PBRLAB_FLUSH_EVERY", "4")),
                              spp))
 
-    # packed carry extension: 32 PathState cols + pix_acc 32:35 +
-    # pend_rgb 35:38 + pend_pix 38 (pend empty at every trip boundary)
+    # packed carry extension: _PACK_COLS PathState cols + pix_acc +3 +
+    # pend_rgb +3 + pend_pix +1 (pend empty at every trip boundary)
+    PC = _PACK_COLS
+
     def pack_ext(state, pix_acc, pend_rgb, pend_pix):
         return jnp.concatenate([
             pack_state(state), pix_acc, pend_rgb,
@@ -939,7 +1052,10 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
         """Flush finished samples into pix_acc; advance sample or claim a
         new pixel; park completed pixels in the pend slot."""
         pix_acc, pend_rgb, pend_pix = acc
-        flush = ~state.alive & (state.sample < spp)
+        # a dead lane with an unresolved deferred-NEE query keeps its slot
+        # for one more step (the trace resolves it, then it flushes here)
+        flush = (~state.alive & (state.sample < spp)
+                 & (state.nee_maxt < 0.0))
         pix_acc = pix_acc + jnp.where(
             flush[..., None] & jnp.isfinite(state.contribution),
             state.contribution, 0.0)
@@ -1002,16 +1118,17 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
         packed, fb, next_pixel, it = carry
         for sub in range(flush_every):
             state = unpack_state(packed)
-            acc = (packed[:, 32:35], packed[:, 35:38],
-                   packed[:, 38].astype(jnp.int32))
+            acc = (packed[:, PC:PC + 3], packed[:, PC + 3:PC + 6],
+                   packed[:, PC + 6].astype(jnp.int32))
             state, acc, fb, next_pixel = refill(state, acc, fb, next_pixel)
             stepped = state.alive
             state = wavefront_step(scene, state, 0)
             if k_volume:
                 def vol_substeps(st):
-                    for _ in range(k_volume):
+                    for i in range(k_volume):
                         st = wavefront_step(scene, st, 0,
-                                            freeze_surface=True)
+                                            freeze_surface=True,
+                                            resolve_pending=(i == 0))
                     return st
 
                 any_vol = jnp.any(state.alive & (state.mode == MODE_VOLUME))
@@ -1033,11 +1150,13 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
                     lambda p: compact_packed(p, scene),
                     lambda p: p, packed)
         # amortized framebuffer flush: drain every pend slot once per trip
-        pend_pix = packed[:, 38].astype(jnp.int32)
+        pend_pix = packed[:, PC + 6].astype(jnp.int32)
         fb = fb.at[jnp.clip(pend_pix, 0, n - 1)].add(
-            jnp.where((pend_pix >= 0)[:, None], packed[:, 35:38], 0.0))
+            jnp.where((pend_pix >= 0)[:, None],
+                      packed[:, PC + 3:PC + 6], 0.0))
         packed = jnp.concatenate([
-            packed[:, :35], jnp.zeros((packed.shape[0], 3), jnp.float32),
+            packed[:, :PC + 3],
+            jnp.zeros((packed.shape[0], 3), jnp.float32),
             jnp.full((packed.shape[0], 1), -1.0, jnp.float32)], axis=1)
         return packed, fb, next_pixel, it + flush_every
 
@@ -1058,7 +1177,7 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
         ((state.sample < spp) & ~state.alive)[..., None]
         & jnp.isfinite(state.contribution), state.contribution, 0.0)
     fb = fb.at[jnp.minimum(state.lane, n - 1)].add(
-        packed[:, 32:35] + contrib)
+        packed[:, PC:PC + 3] + contrib)
     if return_iters:
         return fb, iters
     return fb

@@ -86,11 +86,12 @@ def ray_units(scene, width: int, height: int, max_steps: int,
         def body(state, _):
             units = 2.0 * jnp.mean(state.alive.astype(jnp.float32))
             state = wavefront_step(scene, state, 0)
-            for _ in range(k_volume):
+            for i in range(k_volume):
                 vol = state.alive & (state.mode == MODE_VOLUME)
                 units = units + jnp.mean(vol.astype(jnp.float32))
                 state = wavefront_step(scene, state, 0,
-                                       freeze_surface=True)
+                                       freeze_surface=True,
+                                       resolve_pending=(i == 0))
             return state, units
 
         _, per_step = jax.lax.scan(body, state, None, length=max_steps)

@@ -283,3 +283,58 @@ def test_dense_v5s_matches_bruteforce(dense_scene, rng_np):
                             passes=2)
     want = (np.asarray(ref["prim"]) >= 0) & (mxd > 0)
     np.testing.assert_array_equal(np.asarray(any_h["prim"]) >= 0, want)
+
+
+def test_dense_v4_dual_matches_separate(dense_scene, rng_np):
+    """Fused dual-query kernel (closest + shared-origin shadow any-hit,
+    the deferred-NEE launch) == the two separate launches."""
+    from pbrlab_tpu.ops.pallas.dense_v4 import (dense_trace_v4,
+                                                dense_trace_v4_dual)
+
+    n = 512
+    org, d, mn, mx = _rays(dense_scene, n, rng_np)
+    sd = rng_np.normal(size=(n, 3))
+    sd /= np.linalg.norm(sd, axis=1, keepdims=True)
+    sd = jnp.asarray(sd, jnp.float32)
+    smn = jnp.full((n,), 1e-3, jnp.float32)
+    smx = jnp.asarray(
+        np.where(rng_np.random(n) < 0.3, -1.0,
+                 rng_np.random(n) * 4.0), jnp.float32)  # 30% no query
+    tris = dense_scene["dense_tris_v4"]
+    aabb = dense_scene["dense_cluster_aabb_v4"]
+    got, occ = dense_trace_v4_dual(tris, aabb, org, d, mn, mx, sd, smn,
+                                   smx, interpret=True)
+    ref = dense_trace_v4(tris, aabb, org, d, mn, mx, interpret=True)
+    ref_occ = dense_trace_v4(tris, aabb, org, sd, smn, smx, any_hit=True,
+                             interpret=True)["prim"] >= 0
+    for k in ("t", "u", "v", "prim"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref_occ))
+    assert np.asarray(occ)[np.asarray(smx) < 0].sum() == 0
+
+
+def test_dense_v5_dual_matches_separate(dense_scene, rng_np):
+    from pbrlab_tpu.ops.pallas.dense_v5 import (dense_trace_v5,
+                                                dense_trace_v5_dual)
+
+    n = 512
+    org, d, mn, mx = _rays(dense_scene, n, rng_np)
+    sd = rng_np.normal(size=(n, 3))
+    sd /= np.linalg.norm(sd, axis=1, keepdims=True)
+    sd = jnp.asarray(sd, jnp.float32)
+    smn = jnp.full((n,), 1e-3, jnp.float32)
+    smx = jnp.asarray(
+        np.where(rng_np.random(n) < 0.3, -1.0,
+                 rng_np.random(n) * 4.0), jnp.float32)
+    tris = dense_scene["dense_tris_v4"]
+    na, nm = dense_scene["v5_node_aabb"], dense_scene["v5_node_meta"]
+    got, occ = dense_trace_v5_dual(tris, na, nm, org, d, mn, mx, sd, smn,
+                                   smx, interpret=True)
+    ref = dense_trace_v5(tris, na, nm, org, d, mn, mx, interpret=True)
+    ref_occ = dense_trace_v5(tris, na, nm, org, sd, smn, smx,
+                             any_hit=True, interpret=True)["prim"] >= 0
+    for k in ("t", "u", "v", "prim"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref_occ))
