@@ -966,10 +966,11 @@ def subtree_cut(node_aabb: np.ndarray, node_meta: np.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("any_hit", "interpret", "passes"))
+                   static_argnames=("any_hit", "interpret", "passes",
+                                    "cond_cleanup"))
 def dense_trace_v5s(packed_leaf, node_aabb, node_meta, sub_roots, sub_aabb,
                     org, direction, min_t, max_t, any_hit=False,
-                    interpret=False, passes=2):
+                    interpret=False, passes=2, cond_cleanup=False):
     """Subtree-scheduled large-scene trace (see block comment above).
     Same contract as dense_trace_v5; sub_roots/sub_aabb from subtree_cut.
 
@@ -1095,11 +1096,40 @@ def dense_trace_v5s(packed_leaf, node_aabb, node_meta, sub_roots, sub_aabb,
 
     for _ in range(passes):
         state = run_pass(state, cleanup=False)
-    # NOTE: wrapping this round in lax.cond(any ray still needs cleanup)
-    # was tried — it produced WRONG renders on chip (interpret-mode
-    # parity passed; the pallas_call inside the cond branch appears to
-    # miscompile). Unconditional until that is understood.
-    state = run_pass(state, cleanup=True)
+    # Round-4 NOTE, re-investigated round 5: wrapping this round in
+    # lax.cond(any ray still needs cleanup) produces WRONG results on
+    # chip — DETERMINISTICALLY at 512k rays on the 42k-tri scene
+    # (494439/524288 prim mismatches; scripts/cond_pallas_check.py
+    # probe 4), with a tell-tale pattern: total hit/miss COUNTS are
+    # conserved but values land on wrong lanes — a layout/packing
+    # corruption around the cond, not a traversal bug. Isolated
+    # reconstructions of the same construct (v5l pallas_call inside a
+    # data-dependent cond, even on an argsort-permuted 512k fat state —
+    # probes 1-3) all PASS, and interpret mode is exact, so the trigger
+    # needs the full V5S program (scheduled pallas pass with per-group
+    # SMEM roots feeding the cond-gated pass). The conditional round is
+    # also no faster in practice (the remaining-work predicate costs a
+    # full C-box slab pass; measured 5.8 vs 7.0 Mray/s unconditional),
+    # so the cleanup stays UNCONDITIONAL; cond_cleanup=True exists only
+    # for the pinned regression probe.
+    if cond_cleanup and not interpret:
+        s_ = unpack(state)
+        cand = slab_all(s_["org"], s_["dir"], s_["mint"], s_["maxt"])
+        bits = (jnp.uint32(1) << (jnp.arange(C, dtype=jnp.uint32)
+                                  % jnp.uint32(32)))[None]
+        lo_mask = (s_["clo"][:, None] & bits) > 0
+        hi_mask = (s_["chi"][:, None] & bits) > 0
+        consumed = jnp.where(jnp.arange(C)[None] < 32, lo_mask, hi_mask)
+        avail = jnp.where(consumed | (cand >= s_["bt"][:, None]), big,
+                          cand)
+        rem = (avail < big).any(axis=1)
+        if any_hit:
+            rem = rem & (s_["bp"] < 0)
+        state = _lax.cond(jnp.any(rem),
+                          lambda st: run_pass(st, cleanup=True),
+                          lambda st: st, state)
+    else:
+        state = run_pass(state, cleanup=True)
 
     s_ = unpack(state)
     out_pack = jnp.stack([s_["bt"], s_["bu"], s_["bv"], s_["bp"]], axis=1)
