@@ -58,7 +58,10 @@ def main():
     from pbrlab_tpu.scene.demo import build_demo_scene
 
     scene_np, _ = build_demo_scene(subdiv=3)
-    k_volume = 3 if scene_has_sss(scene_np) else 0  # = cli.py auto rule
+    # fixed k_volume=3 to keep the workload comparable across rounds;
+    # the CLI's auto probe (integrator.auto_k_volume) also lands on 3
+    # for this medium (docs/sss_truncation.md)
+    k_volume = 3 if scene_has_sss(scene_np) else 0
     mrays = measure(scene_np, width, height, spp, max_steps, k_volume)
 
     out = {
@@ -70,19 +73,29 @@ def main():
         "vs_baseline": round(mrays / 100.0, 3),  # BASELINE.json north star
     }
 
-    # second scene: the >=42k-triangle regime (demo geometry at subdiv=5:
-    # 2 x 20480-face ellipsoids + box = 41.5k tris -> the leaf-DMA /
-    # packet-traversal scale path)
+    # second scene: the >=42k-triangle regime, now with NOISE-DISPLACED
+    # (irregular) bodies so the number is not geodesic-sphere best-case
+    # (round-4 verdict Missing #4); third: an irregular >=100k-tri mesh
     if os.environ.get("BENCH_LARGE", "1") != "0":
-        large_np, _ = build_demo_scene(subdiv=5)
+        large_np, _ = build_demo_scene(subdiv=5, irregular=True)
         ntri = int(large_np["tri_v0"].shape[0])
         res2 = int(os.environ.get("BENCH_LARGE_RES", "512"))
         spp2 = int(os.environ.get("BENCH_LARGE_SPP", "16"))
         kv2 = 3 if scene_has_sss(large_np) else 0
         mrays2 = measure(large_np, res2, res2, spp2, max_steps, kv2)
-        out["large_scene"] = (f"demo subdiv=5 ({ntri} tris), {res2}^2, "
-                              f"{spp2}spp, k_volume={kv2}")
+        out["large_scene"] = (f"demo subdiv=5 irregular ({ntri} tris), "
+                              f"{res2}^2, {spp2}spp, k_volume={kv2}")
         out["large_scene_mrays"] = round(mrays2, 2)
+    if os.environ.get("BENCH_XL", "1") != "0":
+        xl_np, _ = build_demo_scene(subdiv=6, irregular=True)
+        ntri = int(xl_np["tri_v0"].shape[0])
+        res3 = int(os.environ.get("BENCH_XL_RES", "512"))
+        spp3 = int(os.environ.get("BENCH_XL_SPP", "8"))
+        kv3 = 3 if scene_has_sss(xl_np) else 0
+        mrays3 = measure(xl_np, res3, res3, spp3, max_steps, kv3)
+        out["xl_scene"] = (f"demo subdiv=6 irregular ({ntri} tris), "
+                           f"{res3}^2, {spp3}spp, k_volume={kv3}")
+        out["xl_scene_mrays"] = round(mrays3, 2)
 
     print(json.dumps(out))
 

@@ -61,7 +61,9 @@ def main(argv=None):
     ap.add_argument("--max-steps", type=int, default=32)
     ap.add_argument("--k-volume", type=int, default=-1,
                     help="volume-only substeps per wavefront step for SSS "
-                         "walks (-1 = auto: 3 when the scene has SSS)")
+                         "walks (-1 = auto: probe the scene and raise k "
+                         "until <1%% of walks truncate; "
+                         "docs/sss_truncation.md)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="rgba.png")
     ap.add_argument("--serve", type=int, default=None, metavar="PORT",
@@ -72,7 +74,7 @@ def main(argv=None):
     import jax
 
     from ..render.film import save_png
-    from ..render.integrator import render, scene_has_sss
+    from ..render.integrator import auto_k_volume, render
     from ..scene.scene import scene_to_device
 
     # material names ride along from every loader so --serve lists every
@@ -109,7 +111,7 @@ def main(argv=None):
           f"{scene_np['curve_pts'].shape[0]} curve segments", file=sys.stderr)
     k_volume = args.k_volume
     if k_volume < 0:
-        k_volume = 3 if scene_has_sss(scene_np) else 0
+        k_volume = auto_k_volume(scene_np, max_steps=args.max_steps)
     scene = scene_to_device(scene_np)
 
     if args.serve is not None:

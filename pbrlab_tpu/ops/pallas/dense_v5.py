@@ -1094,7 +1094,86 @@ def dense_trace_v5s(packed_leaf, node_aabb, node_meta, sub_roots, sub_aabb,
             state[:, 14:15],
         ], axis=1)
 
-    for _ in range(passes):
+    def run_pass2(state):
+        """TWO scheduled rounds for ONE sort: the composite (c1, c2) key
+        (nearest and second-nearest unvisited candidate subtree) groups
+        rays so that after the c1-restricted kernel pass the SAME layout
+        is still coherent in c2 — the second restricted pass reuses the
+        permutation. Saves one argsort + fat gather + slab_all per pair
+        of rounds (~26 ns/ray of the measured ~78 ns/ray scheduling
+        floor, ARCHITECTURE.md). Correctness is unaffected by schedule:
+        the final unrestricted cleanup sweeps anything with a nearer
+        unvisited candidate."""
+        s_ = unpack(state)
+        cand = slab_all(s_["org"], s_["dir"], s_["mint"], s_["maxt"])
+        bits = (jnp.uint32(1) << (jnp.arange(C, dtype=jnp.uint32)
+                                  % jnp.uint32(32)))[None]
+        lo_mask = (s_["clo"][:, None] & bits) > 0
+        hi_mask = (s_["chi"][:, None] & bits) > 0
+        consumed = jnp.where(jnp.arange(C)[None] < 32, lo_mask, hi_mask)
+        avail = jnp.where(consumed | (cand >= s_["bt"][:, None]), big,
+                          cand)
+        c1 = jnp.argmin(avail, axis=1).astype(jnp.int32)
+        has1 = avail.min(axis=1) < big
+        avail2 = jnp.where(jnp.arange(C)[None] == c1[:, None], big, avail)
+        c2 = jnp.argmin(avail2, axis=1).astype(jnp.int32)
+        has2 = avail2.min(axis=1) < big
+        if any_hit:
+            unresolved = s_["bp"] < 0
+            has1 = has1 & unresolved
+            has2 = has2 & unresolved
+        k1 = jnp.where(has1, c1, C)
+        k2 = jnp.where(has2, c2, C)
+        key = k1 * (C + 1) + k2
+        perm = jnp.argsort(key)
+        state = jnp.concatenate(
+            [state, k1.astype(f32)[:, None], k2.astype(f32)[:, None]],
+            axis=1)[perm]
+        k1_p = state[:, 15].astype(jnp.int32)
+        k2_p = state[:, 16].astype(jnp.int32)
+        state = state[:, :15]
+
+        def one_round(state, key_p):
+            s_ = unpack(state)
+            group_first = key_p.reshape(-1, GROUP)[:, 0]
+            groot = sub_roots[jnp.minimum(group_first, C - 1)]
+            groot = jnp.where(group_first >= C, 0,
+                              groot).astype(jnp.int32)
+            active = ((key_p == jnp.repeat(group_first, GROUP))
+                      & (key_p < C))
+            if any_hit:
+                active = active & (s_["bp"] < 0)
+            mt = jnp.where(active, s_["bt"], -1.0)
+            res = dense_trace_v5l(packed_leaf, node_aabb, node_meta,
+                                  s_["org"], s_["dir"], s_["mint"], mt,
+                                  any_hit=any_hit, interpret=interpret,
+                                  group_roots=groot)
+            upd = active & (res["prim"] >= 0) & (res["t"] < s_["bt"])
+            bt = jnp.where(upd, res["t"], s_["bt"])
+            bu = jnp.where(upd, res["u"], s_["bu"])
+            bv = jnp.where(upd, res["v"], s_["bv"])
+            bp = jnp.where(upd, res["prim"].astype(f32), s_["bp"])
+            kk = key_p.astype(jnp.uint32)
+            bit = jnp.uint32(1) << (kk % jnp.uint32(32))
+            clo = s_["clo"] | jnp.where(active & (key_p < 32), bit, 0)
+            chi = s_["chi"] | jnp.where(
+                active & (key_p >= 32) & (key_p < C), bit, 0)
+            return jnp.concatenate([
+                state[:, 0:8], bt[:, None], bu[:, None], bv[:, None],
+                bp[:, None],
+                _lax.bitcast_convert_type(clo, f32)[:, None],
+                _lax.bitcast_convert_type(chi, f32)[:, None],
+                state[:, 14:15],
+            ], axis=1)
+
+        state = one_round(state, k1_p)
+        return one_round(state, k2_p)
+
+    left = passes
+    while left >= 2:
+        state = run_pass2(state)
+        left -= 2
+    for _ in range(left):
         state = run_pass(state, cleanup=False)
     # Round-4 NOTE, re-investigated round 5: wrapping this round in
     # lax.cond(any ray still needs cleanup) produces WRONG results on

@@ -1192,6 +1192,38 @@ def scene_has_sss(scene) -> bool:
     return sub is not None and bool((np.asarray(sub) > 0.0).any())
 
 
+def auto_k_volume(scene_np, max_steps: int = 32, cap: int = 12,
+                  probe: int = 96) -> int:
+    """CLI auto rule for the SSS walk budget (VERDICT r4 #7).
+
+    The reference walks up to 8192 volume steps per bounce
+    (/root/reference/src/shader/random-walk-sss.h:281); here a walk gets
+    ~(1 + k_volume) * max_steps steps and truncation biases dense media
+    dark (docs/sss_truncation.md quantifies it). Rule: 0 without SSS;
+    else start at 3 and double (to `cap`) until the probed fraction of
+    truncated walks is < 1%; warn if the cap still truncates."""
+    if not scene_has_sss(scene_np):
+        return 0
+    from ..utils.profiling import measure_sss_truncation
+
+    k = 3
+    while True:
+        frac = measure_sss_truncation(scene_np, max_steps, k_volume=k,
+                                      probe=probe)
+        if frac < 0.01 or k >= cap:
+            break
+        k = min(cap, k * 2)
+    if frac >= 0.01:
+        from ..utils import log as plog
+
+        plog.event(plog.get_logger("integrator"), "sss walk budget",
+                   level="warning", k_volume=k,
+                   truncated_pct=round(frac * 100, 2),
+                   hint="medium denser than the k_volume cap can cover; "
+                        "raise --k-volume or --max-steps")
+    return k
+
+
 def render_sample(scene, width: int, height: int, sample_id, seed=0,
                   max_steps: int = 32, k_volume: int = 0):
     """One sample per pixel -> radiance [H, W, 3] (linear)."""

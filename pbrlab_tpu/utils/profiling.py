@@ -100,6 +100,68 @@ def ray_units(scene, width: int, height: int, max_steps: int,
     return run(scene)
 
 
+def measure_sss_truncation(scene_np, max_steps: int, k_volume: int = 0,
+                           probe: int = 96, sample_id=0, seed: int = 0
+                           ) -> float:
+    """Fraction of SSS random walks still inside the medium when the
+    (1 + k_volume) * max_steps budget runs out (VERDICT r4 #7).
+
+    The reference walks up to 8192 steps (random-walk-sss.h:281); walks
+    this renderer truncates bias radiance down. CPU probe at `probe`^2
+    pixels, one sample; the CLI's auto-k rule thresholds this at 1%
+    (integrator.auto_k_volume)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..render.integrator import (MODE_VOLUME, init_state,
+                                     wavefront_step)
+    from ..scene.scene import build_fat_tables, scene_to_device
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    prev = os.environ.get("PBRLAB_TRACE_BACKEND")
+    os.environ["PBRLAB_TRACE_BACKEND"] = "bvh"
+    try:
+        with jax.default_device(cpu):
+            scene = build_fat_tables(scene_to_device(scene_np))
+
+            @jax.jit
+            def run(scene):
+                lane = jnp.arange(probe * probe, dtype=jnp.int32)
+                state = init_state(scene, probe, probe,
+                                   jnp.uint32(sample_id), seed, lane)
+
+                def body(carry, _):
+                    state, started = carry
+                    pre = state.mode == MODE_VOLUME
+                    state = wavefront_step(scene, state, 0)
+                    started += jnp.sum(
+                        (~pre & (state.mode == MODE_VOLUME)
+                         & state.alive).astype(jnp.int32))
+                    for i in range(k_volume):
+                        pre = state.mode == MODE_VOLUME
+                        state = wavefront_step(scene, state, 0,
+                                               freeze_surface=True,
+                                               resolve_pending=(i == 0))
+                    return (state, started), None
+
+                (state, started), _ = jax.lax.scan(
+                    body, (state, jnp.int32(0)), None, length=max_steps)
+                truncated = jnp.sum(
+                    (state.alive
+                     & (state.mode == MODE_VOLUME)).astype(jnp.int32))
+                return truncated, started
+
+            truncated, started = run(scene)
+            return float(truncated) / max(float(started), 1.0)
+    finally:
+        if prev is None:
+            del os.environ["PBRLAB_TRACE_BACKEND"]
+        else:
+            os.environ["PBRLAB_TRACE_BACKEND"] = prev
+
+
 def measure_occupancy(scene_np, max_steps: int, probe: int = 128,
                       k_volume: int = 0) -> float:
     """Sum of rays fired per pixel-sample over all steps (CPU probe

@@ -7,7 +7,9 @@ Pattern per the measured backend quirks: compile every program first,
 burn one sacrificial execution, then execute each program ONCE with the
 work amplified KB_ITERS-fold inside one jit (data-dependent scan).
 
-Env: KB_SUBDIV (5), KB_N (1<<19), KB_ITERS (4), KB_PASSES (1), KB_CUT (64).
+Env: KB_SUBDIV (5), KB_N (1<<19), KB_ITERS (4), KB_PASSES (1), KB_CUT (64),
+KB_IRREGULAR (1: noise-displaced bodies — the geodesic sphere is SAH
+best-case; round-4 verdict Missing #4).
 """
 import os
 import sys
@@ -29,10 +31,11 @@ N = int(os.environ.get("KB_N", 1 << 19))
 ITERS = int(os.environ.get("KB_ITERS", "4"))
 PASSES = int(os.environ.get("KB_PASSES", "1"))
 CUT = int(os.environ.get("KB_CUT", "64"))
+IRREGULAR = os.environ.get("KB_IRREGULAR", "1") == "1"
 
 
 def main():
-    scene_np, _ = build_demo_scene(subdiv=SUBDIV)
+    scene_np, _ = build_demo_scene(subdiv=SUBDIV, irregular=IRREGULAR)
     packed = scene_np["dense_tris_v4"]
     naabb = jnp.asarray(scene_np["v5_node_aabb"])
     nmeta = jnp.asarray(scene_np["v5_node_meta"])
@@ -44,7 +47,7 @@ def main():
     roots = jnp.asarray(roots)
     sub_aabb = jnp.asarray(sub_aabb)
     ntris = int(scene_np["tri_v0"].shape[0])
-    print(f"subdiv={SUBDIV} tris={ntris} slots={packed.shape[1]} "
+    print(f"subdiv={SUBDIV} irregular={IRREGULAR} tris={ntris} slots={packed.shape[1]} "
           f"cut={roots.shape[0]} N={N} iters={ITERS} passes={PASSES}",
           file=sys.stderr)
 

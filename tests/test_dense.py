@@ -268,11 +268,16 @@ def test_dense_v5s_matches_bruteforce(dense_scene, rng_np):
     roots, sub_aabb = subtree_cut(np.asarray(dense_scene["v5_node_aabb"]),
                                   np.asarray(dense_scene["v5_node_meta"]),
                                   max_nodes=16)
-    got = dense_trace_v5s(jnp.asarray(pl_), dense_scene["v5_node_aabb"],
-                          dense_scene["v5_node_meta"], jnp.asarray(roots),
-                          jnp.asarray(sub_aabb), org, d, mn, mx,
-                          interpret=True, passes=2)
-    _check_against_bruteforce(dense_scene, got, ref)
+    # passes=1: single scheduled round; passes=2: the composite (c1,c2)
+    # one-sort-two-rounds path (run_pass2); passes=3: composite + single
+    for passes in (1, 2, 3):
+        got = dense_trace_v5s(jnp.asarray(pl_),
+                              dense_scene["v5_node_aabb"],
+                              dense_scene["v5_node_meta"],
+                              jnp.asarray(roots),
+                              jnp.asarray(sub_aabb), org, d, mn, mx,
+                              interpret=True, passes=passes)
+        _check_against_bruteforce(dense_scene, got, ref)
     # any-hit with dead lanes mixed in
     mxd = np.asarray(mx).copy()
     mxd[::4] = -1.0

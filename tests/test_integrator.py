@@ -169,3 +169,25 @@ def test_work_queue_lane_count_invariance(small_scene):
             scene_fat, W, H, spp, max_steps=8, n_lanes=n_lanes))
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
         np.testing.assert_allclose(got.mean(), ref.mean(), rtol=1e-6)
+
+
+def test_auto_k_volume_rule():
+    """VERDICT r4 #7: auto k_volume probes truncation — 0 without SSS,
+    3 for the demo medium, raised for a much denser medium."""
+    import numpy as np
+
+    from pbrlab_tpu.render.integrator import auto_k_volume
+    from pbrlab_tpu.scene.demo import build_demo_scene
+
+    lam, _ = build_demo_scene(subdiv=1, lambert_only=True)
+    assert auto_k_volume(lam, max_steps=16, probe=32) == 0
+
+    sss, _ = build_demo_scene(subdiv=1, with_monkey=False)
+    assert auto_k_volume(sss, max_steps=16, probe=32) == 3
+
+    dense = dict(sss)
+    mats = dict(dense["materials"])
+    mats["subsurface_radius"] = (np.asarray(mats["subsurface_radius"])
+                                 * 0.03).astype(np.float32)
+    dense["materials"] = mats
+    assert auto_k_volume(dense, max_steps=16, probe=32) > 3
