@@ -47,6 +47,7 @@ from .camera import generate_rays
 MODE_SURFACE = 0
 MODE_VOLUME = 1
 
+
 FRONT = 0
 BACK = 1
 AMBIGUOUS = 2
@@ -159,6 +160,12 @@ def compact_state(state: PathState, scene) -> PathState:
     survivor unions stay tight. Per-lane RNG streams make the image
     bit-identical under any permutation; the state rides through ONE
     fat-row gather.
+
+    Alive VOLUME lanes sort FIRST (before alive surface lanes): the
+    k_volume substeps in render_lanes_wavefront then only need to touch a
+    static leading window of the sorted state instead of the full lane
+    array (volume lanes are typically a small minority; running the
+    substep math full-width cost ~3.3 of the headline's ~8 ms/iter).
     """
     import os
 
@@ -166,8 +173,8 @@ def compact_state(state: PathState, scene) -> PathState:
         sig = _signature_word(scene, state.direction, state.org, state.min_t)
     else:  # "none": dead/mode packing only (ablation knob)
         sig = jnp.zeros_like(state.rng)
-    primary = (jnp.where(state.alive, 0, 2)
-               + state.mode).astype(jnp.uint32)
+    primary = jnp.where(state.alive, 1 - state.mode,
+                        2 + state.mode).astype(jnp.uint32)
     key = (primary << jnp.uint32(29)) | sig
     perm = jnp.argsort(key)
 
@@ -283,7 +290,7 @@ def compact_packed(packed: jnp.ndarray, scene) -> jnp.ndarray:
         sig = jnp.zeros((packed.shape[0],), jnp.uint32)
     alive = packed[:, 15] > 0.5
     mode = packed[:, 17].astype(jnp.int32)
-    primary = (jnp.where(alive, 0, 2) + mode).astype(jnp.uint32)
+    primary = jnp.where(alive, 1 - mode, 2 + mode).astype(jnp.uint32)
     key = (primary << jnp.uint32(29)) | sig
     return packed[jnp.argsort(key)]
 
@@ -454,7 +461,8 @@ def _nee(scene, pos, geom_normal, omega_out_local, ex, ey, ez,
 
 def wavefront_step(scene, state: PathState, depth: int,
                    freeze_surface: bool = False,
-                   resolve_pending: bool = False) -> PathState:
+                   resolve_pending: bool = False,
+                   windowed: bool = False) -> PathState:
     """Advance every lane by one trace. See module docstring.
 
     freeze_surface=True runs a VOLUME-ONLY substep: surface-mode lanes do
@@ -514,10 +522,14 @@ def wavefront_step(scene, state: PathState, depth: int,
     # k_volume substeps fire only volume-mode lanes: use the sparse
     # (group-skipping) trace backend for them
     trace_backend = None
-    if freeze_surface:
+    if freeze_surface and not windowed:
         from ..ops.intersect import sparse_backend
 
         trace_backend = sparse_backend(scene)
+    # windowed=True (render_lanes_wavefront volume window): the lanes in
+    # the window are mostly ALIVE volume walkers, so the mostly-dead
+    # rationale behind sparse_backend does not apply — keep the scene's
+    # default (densest) backend.
     nee_active = state.nee_maxt >= 0.0
     # Which pendings does THIS step resolve? Full steps: all of them
     # (origins are fixed once a lane leaves its shade point only by the
@@ -1114,6 +1126,34 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
         pending = ~alive & (packed[:, 30] < spp)
         return jnp.any(alive | pending) & (it < cap)
 
+    # volume-substep window: compact_packed sorts alive VOLUME lanes
+    # first, so after a sort the k_volume substeps only need to run on a
+    # static leading slice of the state. Full-width substeps cost ~1.1 ms
+    # each at 65k lanes (masked math + gathers over every lane); the
+    # window caps that at W lanes. A full-width fallback branch keeps the
+    # render correct when a step ever puts > W lanes into volume mode.
+    # default 3/8 of the lanes: measured optimum on the SSS-heavy
+    # headline (65k lanes: window 24576 < 16384 < 32768 < 8192; smaller
+    # windows overflow into the full-width fallback too often)
+    vol_window = max(1,
+                     min(int(os.environ.get("PBRLAB_VOL_WINDOW",
+                                            str(max(1, n_lanes * 3 // 8)))),
+                         n_lanes))
+    window_ok = (k_volume and sort_every == 1
+                 and os.environ.get("PBRLAB_SORT_DIRECT", "1") == "1"
+                 and vol_window < n_lanes)
+
+    def vol_substeps(st, windowed=False):
+        for i in range(k_volume):
+            st = wavefront_step(scene, st, 0, freeze_surface=True,
+                                resolve_pending=(i == 0),
+                                windowed=windowed)
+        return st
+
+    def vol_substeps_packed(p, windowed=False):
+        st = vol_substeps(unpack_state(p[:, :PC]), windowed=windowed)
+        return jnp.concatenate([pack_state(st), p[:, PC:]], axis=1)
+
     def body(carry):
         packed, fb, next_pixel, it = carry
         for sub in range(flush_every):
@@ -1123,21 +1163,17 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
             state, acc, fb, next_pixel = refill(state, acc, fb, next_pixel)
             stepped = state.alive
             state = wavefront_step(scene, state, 0)
-            if k_volume:
-                def vol_substeps(st):
-                    for i in range(k_volume):
-                        st = wavefront_step(scene, st, 0,
-                                            freeze_surface=True,
-                                            resolve_pending=(i == 0))
-                    return st
-
+            if k_volume and not window_ok:
                 any_vol = jnp.any(state.alive & (state.mode == MODE_VOLUME))
                 state = lax.cond(any_vol, vol_substeps, lambda st: st,
                                  state)
             # per-sample step budget (the spp scan runs exactly max_steps)
             depth = jnp.where(stepped, state.depth + 1, state.depth)
+            kill_after_sub = k_volume and window_ok
             state = state._replace(
-                depth=depth, alive=state.alive & (depth < max_steps))
+                depth=depth,
+                alive=(state.alive if kill_after_sub
+                       else state.alive & (depth < max_steps)))
             packed = pack_ext(state, *acc)
             if sort_every == 1 and os.environ.get("PBRLAB_SORT_DIRECT",
                                                   "1") == "1":
@@ -1149,6 +1185,32 @@ def render_lanes_wavefront(scene, width: int, height: int, spp: int,
                     (it + sub + 1) % sort_every == 0,
                     lambda p: compact_packed(p, scene),
                     lambda p: p, packed)
+            if kill_after_sub:
+                # substeps AFTER the sort: alive volume lanes occupy rows
+                # [0, nv) now, so when they fit in the window only that
+                # slice pays the substep math/trace. Per-lane semantics
+                # are identical to substeps-before-sort (compaction is a
+                # permutation and the RNG is per-lane counter-seeded);
+                # the depth-budget kill moves after the substeps so a
+                # max-depth walker still gets its final substeps, exactly
+                # as in the pre-window ordering (R S V K C == R S C V K).
+                alive_v = packed[:, 15] > 0.5
+                nv = jnp.sum((alive_v & (packed[:, 17] > 0.5))
+                             .astype(jnp.int32))
+
+                def win_sub(p):
+                    return jnp.concatenate(
+                        [vol_substeps_packed(p[:vol_window], windowed=True),
+                         p[vol_window:]], axis=0)
+
+                # one cond, not a nested nv>0 short-circuit: on SSS
+                # scenes some lanes are nearly always walking, so the
+                # extra branch only adds a full-state copy; an all-dead
+                # window costs ~nothing (the kernels skip dead groups)
+                packed = lax.cond(nv <= vol_window, win_sub,
+                                  vol_substeps_packed, packed)
+                packed = packed.at[:, 15].set(jnp.where(
+                    packed[:, 31] >= max_steps, 0.0, packed[:, 15]))
         # amortized framebuffer flush: drain every pend slot once per trip
         pend_pix = packed[:, PC + 6].astype(jnp.int32)
         fb = fb.at[jnp.clip(pend_pix, 0, n - 1)].add(
@@ -1199,21 +1261,25 @@ def auto_k_volume(scene_np, max_steps: int = 32, cap: int = 12,
     The reference walks up to 8192 volume steps per bounce
     (/root/reference/src/shader/random-walk-sss.h:281); here a walk gets
     ~(1 + k_volume) * max_steps steps and truncation biases dense media
-    dark (docs/sss_truncation.md quantifies it). Rule: 0 without SSS;
-    else start at 3 and double (to `cap`) until the probed fraction of
-    truncated walks is < 1%; warn if the cap still truncates."""
+    dark. Rule: 0 without SSS; else start at 3 and double (to `cap`)
+    until the probed fraction of truncated walks is < 8%; warn if the
+    cap still truncates. The 8% threshold is calibrated by the committed
+    study (docs/sss_truncation.md): truncated walks carry little
+    remaining contribution, so < ~10% truncated walks measures as
+    <= ~0.3% radiance bias even at 16x the demo medium density."""
     if not scene_has_sss(scene_np):
         return 0
     from ..utils.profiling import measure_sss_truncation
 
+    THRESH = 0.08
     k = 3
     while True:
         frac = measure_sss_truncation(scene_np, max_steps, k_volume=k,
                                       probe=probe)
-        if frac < 0.01 or k >= cap:
+        if frac < THRESH or k >= cap:
             break
         k = min(cap, k * 2)
-    if frac >= 0.01:
+    if frac >= THRESH:
         from ..utils import log as plog
 
         plog.event(plog.get_logger("integrator"), "sss walk budget",
